@@ -1,0 +1,79 @@
+"""Tokenization — the ingest stage the reference does NOT have.
+
+The reference consumes pre-vectorized sparse data via ``sparseiterator``
+(/root/reference/src/invfile.jl:53-80); tokenization of raw content is this
+engine's addition per the north rule (source-code corpus with a ``content``
+column).
+
+Hot path is 100% JVM: ``split`` / ``regexp_extract_all`` / ``transform`` /
+``filter`` stay inside whole-stage codegen — strictly faster than any Python
+UDF, vectorized or not.  A pandas-UDF code tokenizer is provided for
+per-language rules the regex can't express; it is NOT the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+
+
+def tokens_sql(content_sql: str, cfg: IndexConfig) -> str:
+    """Spark-SQL expression string for the token array of ``content_sql``.
+
+    Using an expression string keeps one definition usable from both the
+    DataFrame API (``F.expr``) and ``spark.sql``.
+    """
+    if cfg.tokenizer == "code":
+        pat = IndexConfig.CODE_TOKEN_RE.replace("\\", "\\\\")
+        base = f"regexp_extract_all({content_sql}, '{pat}', 0)"
+    else:
+        base = f"filter(split({content_sql}, '\\\\s+'), t -> t != '')"
+    if cfg.lowercase:
+        base = f"transform({base}, t -> lower(t))"
+    return base
+
+
+def tokenize(df, content_col: str, cfg: IndexConfig, out_col: str = "tokens"):
+    """Add a ``tokens`` array column (JVM-side, codegen'd)."""
+    return df.withColumn(out_col, F.expr(tokens_sql(content_col, cfg)))
+
+
+def duckdb_tokens_sql(content_sql: str, cfg: IndexConfig) -> str:
+    """The SAME tokenization as DuckDB SQL, for oracle parity.
+
+    Both engines use re2-style regex classes here, so the pattern string is
+    shared verbatim.
+    """
+    if cfg.tokenizer == "code":
+        base = f"regexp_extract_all({content_sql}, '{IndexConfig.CODE_TOKEN_RE}')"
+    else:
+        base = f"list_filter(string_split_regex({content_sql}, '\\s+'), t -> t != '')"
+    if cfg.lowercase:
+        base = f"list_transform({base}, t -> lower(t))"
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Optional pandas-UDF tokenizer (per-language rules).  Arrow-batched — no
+# per-row Python (input_hint mandate).  Kept off the default path because the
+# JVM regex above is faster; exists so per-lang behavior (e.g. stripping
+# string literals per language) has a home.
+# ---------------------------------------------------------------------------
+
+import re
+
+_CODE_RE = re.compile(IndexConfig.CODE_TOKEN_RE)
+
+
+def code_tokens_udf():
+    """Arrow-batched code tokenizer (built lazily — pandas_udf needs an
+    active SparkSession to parse its return type)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(content: pd.Series) -> pd.Series:
+        return content.fillna("").map(lambda s: _CODE_RE.findall(s.lower()))
+
+    return _tok

@@ -1,0 +1,157 @@
+"""Plan A — relational top-k retrieval (Catalyst-optimized, oracle-friendly).
+
+Reference semantics being reproduced (SURVEY.md §3.2):
+  * ``select_posting_lists`` (/root/reference/src/invfilesearch.jl:6-27) —
+    query-term → posting-list probe ≡ broadcast hash join; missing/empty
+    lists skipped for free by inner-join semantics.
+  * ``xmerge!`` union / t-threshold merge (/root/reference/src/winvfilesearch.jl:30,
+    /root/reference/src/binvfilesearch.jl:25-30) ≡ groupBy(query, doc) agg
+    (+ ``HAVING count >= t``).
+  * weighted ``onmatch!`` dot product 1−Σqᵢwᵢ (/root/reference/src/winvfilesearch.jl:3-16)
+    and binary ``set_distance_evaluate`` (/root/reference/src/binvfile.jl:36-45).
+  * ``knnqueue(KnnSorted, k)`` bounded sorted result (/root/reference/src/InvertedFiles.jl:57)
+    ≡ row_number over (score, doc_id) — tie-break deterministic by doc_id so
+    ranks are reproducible (rank-identity gate).
+
+Scale notes: the query side is always tiny → ``F.broadcast``; the join output
+is only the *matched* posting entries; per-query score cardinality is bounded
+by Σ df of the query's terms.  The window top-k shuffles one row per scored
+(query, doc) — for throughput-critical paths use ``wand.wand_topk`` (Plan B,
+bounded heaps, block-max pruning), which is rank-identical by test gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.functions.tokenize import tokens_sql
+from invertedfiles_jl_spark.operators.build import InvertedIndex
+
+
+def query_terms(queries: DataFrame, cfg: IndexConfig,
+                query_col: str = "query_id", content_col: str = "content") -> DataFrame:
+    """(query_id, term, qtf) with tol pruning like the reference's search
+    accept predicate (/root/reference/src/invfilesearch.jl:36-38)."""
+    qt = queries.select(
+        F.col(query_col).alias("query_id"),
+        F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    return qt
+
+
+def postings_exploded(index: InvertedIndex) -> DataFrame:
+    """Flatten posting arrays back to (term, doc_id, weight) rows."""
+    return index.postings.select(
+        "term",
+        F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
+    ).select("term", F.col("e.doc_ids").alias("doc_id"), F.col("e.weights").alias("weight"))
+
+
+def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Broadcast-join query terms against postings and explode only the
+    matched lists: (query_id, <all qterm cols>, doc_id, weight)."""
+    qcols = [c for c in qterms.columns if c != "term"]
+    joined = index.postings.join(F.broadcast(qterms), "term")
+    return joined.select(
+        "term", *qcols,
+        F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
+    ).select(
+        "term", *qcols,
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.weights").alias("weight"),
+    )
+
+
+def topk(scored: DataFrame, k: int, score_col: str = "score",
+         ascending: bool = False) -> DataFrame:
+    """Deterministic per-query top-k: (score, doc_id asc) tie-break —
+    the ``KnnSorted`` rank-identity contract."""
+    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+             F.col("doc_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", score_col)
+    )
+
+
+def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFrame:
+    """BM25 top-k.  Stored weight is the saturated length-normalized tf
+    (build-time fold); idf joins in from vocab at query time.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ qtf · idf · sat_tf.
+    """
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    n = float(index.stats["n_docs"])
+    qt = query_terms(queries, index.cfg)
+    # vocab ⋈ broadcast(qterms): attaches df for idf; inner join drops
+    # out-of-vocabulary terms (empty Q ⇒ empty result, src/invfilesearch.jl:44).
+    qt = index.vocab.join(F.broadcast(qt), "term").select(
+        "query_id", "term", "qtf",
+        F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+    m = _matched(index, qt)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score")
+    )
+    return topk(scored, k, "score", ascending=False)
+
+
+def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Normalized-cosine *distance* top-k — WeightedInvertedFile parity
+    (distance fixed to NormCosine, /root/reference/src/winvfile.jl:30;
+    dist = 1 − Σ q·w, /root/reference/src/winvfilesearch.jl:8-16).
+    Ascending distance, doc_id tie-break."""
+    assert index.cfg.weighting == "normcosine", "index not built with normcosine weighting"
+    qt = query_terms(queries, index.cfg)
+    qnorm = qt.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qtf") * F.col("qtf"))).alias("qn"))
+    qt = qt.join(qnorm, "query_id").select(
+        "query_id", "term", (F.col("qtf") / F.col("qn")).alias("qw"),
+    ).withColumnRenamed("qw", "qtf")
+    m = _matched(index, qt)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist")
+    )
+    return topk(scored, k, "dist", ascending=True)
+
+
+SET_DISTANCES = ("jaccard", "dice", "cosine_set", "intersection")
+
+
+def set_distance_expr(dist: str):
+    """Closed forms from /root/reference/src/binvfile.jl:41-44.
+    isize = |q ∩ d|, s1 = |q|, s2 = |d| (distinct term counts)."""
+    i, s1, s2 = F.col("isize"), F.col("qsize"), F.col("dsize")
+    if dist == "intersection":
+        return F.lit(1.0) - i / F.greatest(s1, s2)
+    if dist == "dice":
+        return F.lit(1.0) - 2.0 * i / (s1 + s2)
+    if dist == "jaccard":
+        return F.lit(1.0) - i / (s1 + s2 - i)
+    if dist == "cosine_set":
+        return F.lit(1.0) - i / F.sqrt(s1 * s2)
+    raise ValueError(f"unknown set distance {dist!r}")
+
+
+def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                      dist: str = "jaccard", t: int = 1) -> DataFrame:
+    """BinaryInvertedFile search: intersection-size merge + set distance
+    (/root/reference/src/binvfilesearch.jl:9-34).  ``t`` is the xmerge
+    t-threshold — docs present in < t query-term lists are dropped
+    (/root/reference/src/binvfilesearch.jl:25)."""
+    assert index.cfg.weighting == "binary", "index not built with binary weighting"
+    qt = query_terms(queries, index.cfg).select("query_id", "term")  # distinct terms
+    qsize = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qsize"))
+    m = _matched(index, qt.withColumn("qtf", F.lit(1)))
+    inter = m.groupBy("query_id", "doc_id").agg(F.count(F.lit(1)).alias("isize"))
+    if t > 1:
+        inter = inter.filter(F.col("isize") >= t)
+    scored = (
+        inter.join(F.broadcast(qsize), "query_id")
+        .join(index.docs.select("doc_id", F.col("nnz").alias("dsize")), "doc_id")
+        .withColumn("dist", set_distance_expr(dist).cast("double"))
+    )
+    return topk(scored.select("query_id", "doc_id", "dist"), k, "dist", ascending=True)

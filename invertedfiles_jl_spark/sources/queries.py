@@ -1,0 +1,34 @@
+"""The fixed reference query set (FIXTURES.md F2).
+
+Deterministic — mixes hot terms, the rare term ``dup``, a repeated-term
+query (exercises qtf > 1), and one fully out-of-vocabulary query
+(exercises the empty-Q early return, /root/reference/src/invfilesearch.jl:44).
+Shared by tests, __spark_entry__ oracle queries, and bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERY_SET: list[tuple[int, str]] = [
+    (1, "spark window merge"),
+    (2, "dup customer"),
+    (3, "hash join order"),
+    (4, "the fast query table"),
+    (5, "scan scan filter"),
+    (6, "vector stream batch group"),
+    (7, "dup"),
+    (8, "big data slow row line"),
+    (9, "key value column agg sort part small"),
+    (10, "zzzunknown qqqmissing"),
+]
+
+
+def queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "query_id long, content string")
+
+
+def queries_values_sql() -> str:
+    """The same query set as an ANSI VALUES relation for DuckDB oracles."""
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in QUERY_SET)
+    return f"(VALUES {rows}) AS q(query_id, content)"

@@ -1,0 +1,121 @@
+"""End-to-end build + Plan A search vs numpy brute-force oracle —
+the Spark port of the reference's randomized-vs-exhaustive strategy
+(/root/reference/test/invfiles.jl:19-52,114-150)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import build_index
+from invertedfiles_jl_spark.operators.search import (
+    SET_DISTANCES,
+    bm25_topk,
+    cosine_topk,
+    set_distance_topk,
+)
+from invertedfiles_jl_spark.sources.queries import QUERY_SET, queries_df
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def texts(docs_pandas):
+    return dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    from pyspark.sql import functions as F
+
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+def _collect_topk(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r[df.columns[-1]]))
+    for q in out:
+        out[q].sort()
+    return out
+
+
+def test_build_tables(corpus, texts):
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    assert idx.stats["n_docs"] == len(texts)
+    # vocab parity with python oracle
+    _, df_oracle, _, avgdl = oracle.build_corpus_stats(texts)
+    vocab = {r["term"]: r["df"] for r in idx.vocab.collect()}
+    assert vocab == dict(df_oracle)
+    assert math.isclose(idx.stats["avg_doc_len"], avgdl, rel_tol=1e-9)
+    # posting lists doc-sorted (parallel_append! post-sort invariant,
+    # /root/reference/src/invfile.jl:170-184)
+    rows = idx.postings.collect()
+    for r in rows:
+        ids = list(r["doc_ids"])
+        assert ids == sorted(ids)
+        assert len(ids) == r["df_part"] == len(r["weights"])
+
+
+def test_bm25_rank_identical_to_oracle(corpus, texts, spark):
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    got = _collect_topk(bm25_topk(idx, queries_df(spark), k=10))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.bm25_scores(texts, qtext), 10, ascending=False)
+        mine = got.get(qid, [])
+        assert [d for _, d, _ in mine] == [d for d, _ in gold], f"q{qid} ids"
+        for (_, _, s), (_, gs) in zip(mine, gold):
+            # stored sat-tf is float32 (reference stores Float32 weights,
+            # /root/reference/src/idweight.jl:9) vs float64 oracle
+            assert math.isclose(s, gs, rel_tol=1e-5, abs_tol=1e-5), f"q{qid} score"
+    assert 10 not in got  # out-of-vocab query ⇒ empty result
+
+
+def test_cosine_rank_identical_to_oracle(corpus, texts, spark):
+    idx = build_index(corpus, IndexConfig(weighting="normcosine"))
+    got = _collect_topk(cosine_topk(idx, queries_df(spark), k=10))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.cosine_dists(texts, qtext), 10, ascending=True)
+        mine = got.get(qid, [])
+        assert [d for _, d, _ in mine] == [d for d, _ in gold], f"q{qid} ids"
+        for (_, _, s), (_, gs) in zip(mine, gold):
+            # float32 stored weights vs float64 oracle — the reference's own
+            # fidelity gate is L2 err < 0.01 (test/invfiles.jl:141-150)
+            assert abs(s - gs) < 1e-4, f"q{qid} dist {s} vs {gs}"
+
+
+@pytest.mark.parametrize("dist", SET_DISTANCES)
+def test_set_distances_vs_oracle(corpus, texts, spark, dist):
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    got = _collect_topk(set_distance_topk(idx, queries_df(spark), k=10, dist=dist))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.set_dists(texts, qtext, dist), 10, ascending=True)
+        mine = got.get(qid, [])
+        assert [d for _, d, _ in mine] == [d for d, _ in gold], f"{dist} q{qid} ids"
+        for (_, _, s), (_, gs) in zip(mine, gold):
+            assert abs(s - gs) < 1e-9, f"{dist} q{qid}"
+
+
+def test_t_threshold(corpus, texts, spark):
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    got = _collect_topk(set_distance_topk(idx, queries_df(spark), k=10, dist="jaccard", t=2))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.set_dists(texts, qtext, "jaccard", t=2), 10, ascending=True)
+        assert [d for _, d, _ in got.get(qid, [])] == [d for d, _ in gold], f"q{qid}"
+
+
+def test_salting_preserves_results(corpus, texts, spark):
+    """Hot-term salting must not change any result: bucketed sub-lists are
+    doc-range-disjoint, so concatenation order restores the sorted list."""
+    cfg = IndexConfig(weighting="bm25", salt_df_threshold=50, salt_buckets=4)
+    idx = build_index(corpus, cfg)
+    # every hot term got split
+    n_parts = {r["term"]: r["n"] for r in
+               idx.postings.groupBy("term").count().withColumnRenamed("count", "n").collect()}
+    assert max(n_parts.values()) > 1
+    got = _collect_topk(bm25_topk(idx, queries_df(spark), k=10))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.bm25_scores(texts, qtext), 10, ascending=False)
+        assert [d for _, d, _ in got.get(qid, [])] == [d for d, _ in gold], f"q{qid}"

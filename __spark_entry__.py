@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` carries the DuckDB
+oracle for each.  Scores are computed in float64 end-to-end for these
+oracle-compared plans (the engine's reference-parity float32 path is covered
+by pytest instead), ranked on round(score, 6) with a doc_id tie-break so
+sub-ULP summation-order differences can never flip a rank, and emitted
+rounded to 5-6 decimals so value-hashes match.
 """
 
 from __future__ import annotations
@@ -13,26 +15,275 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ---------------------------------------------------------------------------
+# engine imports
+# ---------------------------------------------------------------------------
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import build_index
+from invertedfiles_jl_spark.operators.search import (
+    bm25_topk,
+    cosine_topk,
+    postings_exploded,
+    set_distance_topk,
+)
+from invertedfiles_jl_spark.sources.queries import QUERY_SET, queries_df, queries_values_sql
+
+_INDEX_CACHE: dict = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+
+
+def _index(spark: SparkSession, sf_dir: str, weighting: str):
+    key = (sf_dir, weighting)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(weighting=weighting, weight_dtype="double")
+        _INDEX_CACHE[key] = build_index(_corpus(spark, sf_dir), cfg)
+    return _INDEX_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (must mirror the Spark plans token-for-token in
+# arithmetic shape — see invertedfiles_jl_spark/functions/tokenize.py)
+# ---------------------------------------------------------------------------
+
+_TOK = "list_transform(list_filter(string_split_regex({col}, '\\s+'), t -> t != ''), t -> lower(t))"
+
+_BASE_CTES = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOK.format(col='text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len, CAST(count(*) AS BIGINT) AS nnz,
+         sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
+  FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT avg(doc_len) FROM dl) AS avgdl
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+),
+qtok AS (
+  SELECT query_id, unnest({_TOK.format(col='content')}) AS term
+  FROM {{queries}}
+),
+qt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY query_id, term
+)
+""".replace("{queries}", queries_values_sql())
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _cosine_sql(k: int = 10) -> str:
+    return f"""
+WITH {_BASE_CTES},
+qn AS (
+  SELECT query_id, sqrt(CAST(sum(qtf * qtf) AS DOUBLE)) AS qn FROM qt GROUP BY query_id
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         1.0 - sum((qtf / qn) * (tf / norm)) AS dist
+  FROM qt
+  JOIN qn ON qt.query_id = qn.query_id
+  JOIN tf ON qt.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dist, 6) ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(dist, 5) AS dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+_SET_DIST_SQL_EXPR = {
+    "jaccard": "1.0 - isize / (qsize + dsize - isize)",
+    "dice": "1.0 - (2.0 * isize) / (qsize + dsize)",
+    "cosine_set": "1.0 - isize / sqrt(CAST(qsize * dsize AS DOUBLE))",
+    "intersection": "1.0 - isize / greatest(qsize, dsize)",
+}
+
+
+def _set_dist_sql(dist: str, k: int = 10, t: int = 1) -> str:
+    having = f"HAVING count(*) >= {t}" if t > 1 else ""
+    return f"""
+WITH {_BASE_CTES},
+qsz AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS qsize FROM qt GROUP BY query_id
+),
+inter AS (
+  SELECT query_id, tf.doc_id, CAST(count(*) AS BIGINT) AS isize
+  FROM qt JOIN tf ON qt.term = tf.term
+  GROUP BY query_id, tf.doc_id {having}
+),
+scored AS (
+  SELECT inter.query_id, inter.doc_id,
+         {{expr}} AS dist
+  FROM inter
+  JOIN qsz ON inter.query_id = qsz.query_id
+  JOIN dl ON inter.doc_id = dl.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dist, 9) ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(dist, 6) AS dist
+FROM ranked WHERE rank <= {k}
+""".replace("{expr}", _SET_DIST_SQL_EXPR[dist].replace("dsize", "nnz").replace("nnz", "dl.nnz"))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "normcosine")
+    res = cosine_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("dist", 5).alias("dist"))
+
+
+def _q_set(dist: str, t: int = 1):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = _index(spark, sf_dir, "binary")
+        res = set_distance_topk(idx, queries_df(spark), k=10, dist=dist, t=t, rank_round=9)
+        return res.select("query_id", "rank", "doc_id", F.round("dist", 6).alias("dist"))
+
+    return q
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir, "bm25")
+    return idx.vocab.select("term", "df", "cf")
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir, "bm25")
+    return idx.docs.select("doc_id", "doc_len", "nnz", "content_sha256")
+
+
+def _q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir, "binary")
+    return postings_exploded(idx).select("term", "doc_id")
+
+
+def _q_corpus_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.sources.corpus import corpus_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_from_documents(docs).select("doc_id", "repo", "path", "commit", "lang")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": _q_bm25,
+        "cosine_topk": _q_cosine,
+        "jaccard_topk": _q_set("jaccard"),
+        "dice_topk": _q_set("dice"),
+        "cosineset_topk": _q_set("cosine_set"),
+        "intersection_topk": _q_set("intersection"),
+        "jaccard_tthreshold2": _q_set("jaccard", t=2),
+        "vocab": _q_vocab,
+        "doc_stats": _q_doc_stats,
+        "postings_flat": _q_postings_flat,
+        "corpus_commits": _q_corpus_commits,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _bm25_sql(),
+        "cosine_topk": _cosine_sql(),
+        "jaccard_topk": _set_dist_sql("jaccard"),
+        "dice_topk": _set_dist_sql("dice"),
+        "cosineset_topk": _set_dist_sql("cosine_set"),
+        "intersection_topk": _set_dist_sql("intersection"),
+        "jaccard_tthreshold2": _set_dist_sql("jaccard", t=2),
+        "vocab": f"WITH {_BASE_CTES} SELECT term, df, cf FROM vocab",
+        "doc_stats": f"""
+WITH {_BASE_CTES}
+SELECT d.doc_id,
+       coalesce(dl.doc_len, 0) AS doc_len,
+       coalesce(dl.nnz, 0) AS nnz,
+       sha256(d.text) AS content_sha256
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+""",
+        "postings_flat": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
+        "corpus_commits": """
+SELECT doc_id,
+       'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 97 AS VARCHAR) AS repo,
+       'src/mod' || CAST(doc_id % 53 AS VARCHAR) || '/file' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       substr(sha256('org' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 97 AS VARCHAR)
+              || '/src/mod' || CAST(doc_id % 53 AS VARCHAR) || '/file' || CAST(doc_id AS VARCHAR) || '.txt'), 1, 40) AS commit,
+       lang
+FROM documents
+""",
+    }

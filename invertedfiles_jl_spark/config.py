@@ -53,6 +53,9 @@ class IndexConfig:
     tokenizer: str = "ws"
     lowercase: bool = True
     weighting: str = "bm25"
+    # "float" = reference parity (Float32 weights, src/idweight.jl:9);
+    # "double" = bit-parity with float64 SQL oracles (driver correctness gate)
+    weight_dtype: str = "float"
     tol: float = 1e-6
     bm25_k1: float = 1.2
     bm25_b: float = 0.75

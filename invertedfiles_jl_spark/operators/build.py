@@ -121,12 +121,13 @@ def build_index(
     }
 
     # --- postings: weight per (term, doc), salted group-agg into sorted lists
+    wt = cfg.weight_dtype
     if cfg.weighting == "binary":
-        weighted = tf.select("doc_id", "term", F.lit(1.0).cast("float").alias("weight"))
+        weighted = tf.select("doc_id", "term", F.lit(1.0).cast(wt).alias("weight"))
     elif cfg.weighting == "normcosine":
         weighted = tf.join(docs.select("doc_id", "norm"), "doc_id").select(
             "doc_id", "term",
-            (F.col("tf") / F.col("norm")).cast("float").alias("weight"),
+            (F.col("tf") / F.col("norm")).cast(wt).alias("weight"),
         )
     else:  # bm25: store raw tf; saturation needs doc_len at query time, so
         # fold the length-normalized saturated tf in now — it is query-
@@ -138,7 +139,7 @@ def build_index(
             (
                 F.col("tf") * F.lit(k1 + 1.0)
                 / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
-            ).cast("float").alias("weight"),
+            ).cast(wt).alias("weight"),
         )
 
     # tol pruning at build, like /root/reference/src/invfile.jl:152

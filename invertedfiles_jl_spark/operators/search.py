@@ -65,11 +65,16 @@ def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
 
 
 def topk(scored: DataFrame, k: int, score_col: str = "score",
-         ascending: bool = False) -> DataFrame:
+         ascending: bool = False, rank_round: int | None = None) -> DataFrame:
     """Deterministic per-query top-k: (score, doc_id asc) tie-break —
-    the ``KnnSorted`` rank-identity contract."""
-    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(),
-             F.col("doc_id").asc()]
+    the ``KnnSorted`` rank-identity contract.
+
+    ``rank_round`` ranks on ``round(score, n)`` instead of the raw score —
+    used by oracle-compared queries so that sub-ULP summation-order
+    differences between engines cannot flip a rank.
+    """
+    key = F.round(F.col(score_col), rank_round) if rank_round is not None else F.col(score_col)
+    order = [key.asc() if ascending else key.desc(), F.col("doc_id").asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -78,7 +83,8 @@ def topk(scored: DataFrame, k: int, score_col: str = "score",
     )
 
 
-def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFrame:
+def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+              rank_round: int | None = None) -> DataFrame:
     """BM25 top-k.  Stored weight is the saturated length-normalized tf
     (build-time fold); idf joins in from vocab at query time.
 
@@ -97,10 +103,11 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFram
     scored = m.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score")
     )
-    return topk(scored, k, "score", ascending=False)
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
 
 
-def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFrame:
+def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                rank_round: int | None = None) -> DataFrame:
     """Normalized-cosine *distance* top-k — WeightedInvertedFile parity
     (distance fixed to NormCosine, /root/reference/src/winvfile.jl:30;
     dist = 1 − Σ q·w, /root/reference/src/winvfilesearch.jl:8-16).
@@ -115,7 +122,7 @@ def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10) -> DataFr
     scored = m.groupBy("query_id", "doc_id").agg(
         (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist")
     )
-    return topk(scored, k, "dist", ascending=True)
+    return topk(scored, k, "dist", ascending=True, rank_round=rank_round)
 
 
 SET_DISTANCES = ("jaccard", "dice", "cosine_set", "intersection")
@@ -137,7 +144,8 @@ def set_distance_expr(dist: str):
 
 
 def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
-                      dist: str = "jaccard", t: int = 1) -> DataFrame:
+                      dist: str = "jaccard", t: int = 1,
+                      rank_round: int | None = None) -> DataFrame:
     """BinaryInvertedFile search: intersection-size merge + set distance
     (/root/reference/src/binvfilesearch.jl:9-34).  ``t`` is the xmerge
     t-threshold — docs present in < t query-term lists are dropped
@@ -154,4 +162,4 @@ def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         .join(index.docs.select("doc_id", F.col("nnz").alias("dsize")), "doc_id")
         .withColumn("dist", set_distance_expr(dist).cast("double"))
     )
-    return topk(scored.select("query_id", "doc_id", "dist"), k, "dist", ascending=True)
+    return topk(scored.select("query_id", "doc_id", "dist"), k, "dist", ascending=True, rank_round=rank_round)

@@ -30,5 +30,5 @@ def queries_df(spark: SparkSession) -> DataFrame:
 
 def queries_values_sql() -> str:
     """The same query set as an ANSI VALUES relation for DuckDB oracles."""
-    rows = ", ".join(f"({qid}, '{text}')" for qid, text in QUERY_SET)
+    rows = ", ".join(f"(CAST({qid} AS BIGINT), '{text}')" for qid, text in QUERY_SET)
     return f"(VALUES {rows}) AS q(query_id, content)"

@@ -183,4 +183,9 @@ def build_index(
     )
     stats["vocab_size"] = None  # filled lazily by callers that need it
 
+    if cfg.compress:
+        from invertedfiles_jl_spark.operators.codec import compress_postings
+
+        postings = compress_postings(postings)
+
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)

@@ -53,7 +53,14 @@ def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     """Broadcast-join query terms against postings and explode only the
     matched lists: (query_id, <all qterm cols>, doc_id, weight)."""
     qcols = [c for c in qterms.columns if c != "term"]
-    joined = index.postings.join(F.broadcast(qterms), "term")
+    postings = index.postings
+    if "ids_vb" in postings.columns:  # compressed index → decode matched lists
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        postings = decompress_postings(postings.join(F.broadcast(qterms), "term"))
+        joined = postings
+    else:
+        joined = postings.join(F.broadcast(qterms), "term")
     return joined.select(
         "term", *qcols,
         F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),

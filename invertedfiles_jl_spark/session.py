@@ -19,6 +19,14 @@ def get_spark(
     coalescing + skew-join splitting), Arrow on (vectorized pandas UDF
     transfer), and shuffle partitions matched to parallelism.
     """
+    # Python workers must import this package regardless of driver cwd —
+    # local-mode analog of `spark-submit --py-files` (the north rule's
+    # cluster deploy mode).  Must happen before the JVM launches.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

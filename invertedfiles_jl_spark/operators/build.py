@@ -11,18 +11,20 @@ Reference semantics being reproduced (see SURVEY.md §3.1):
 
 Spark-first design, one shuffle per stage boundary:
 
-  corpus ──(JVM tokenize + posexplode)──▶ (doc_id, term)           narrow
-         ──groupBy(doc_id, term).count()──▶ tf                     shuffle 1 (partial agg map-side)
-  tf     ──groupBy(term)──▶ vocab(term, df, cf)                    shuffle 2 (reuses term clustering)
-  tf ⋈ broadcast(hot_terms) ──groupBy(term_id, salt)
-         .agg(sorted posting arrays)──▶ postings                   shuffle 3
-  tf     ──groupBy(doc_id)──▶ docs(doc_len, nnz, norm, sha)        shuffle 4
+  corpus ──(JVM tokenize + explode)──▶ (doc_id, term)              narrow
+         ──groupBy(doc_id, term).count()──▶ tf                     shuffle 1 (map-side partial agg)
+  tf     ──groupBy(doc_id)──▶ docs(doc_len, nnz, norm, sha)        shuffle 2
+  tf     ──groupBy(term)──▶ vocab(term, df, cf)                    shuffle 3
+  tf ⋈ broadcast(hot_terms) ──groupBy(term, salt)
+         .agg(sorted posting arrays)──▶ postings                   shuffle 4
   stats  = single-row aggregate (n_docs, avgdl)                    broadcast-sized
 
 At 100 TB: every aggregation is partial+final (map-side combine), the only
 wide rows are hot-term posting arrays, which salting caps at
 ``df/salt_buckets`` entries; AQE skew-join handles residual skew.  No window
 over a global ordering, no collect() of anything larger than the stats row.
+Each stage is independently persistable — ``plans.pipeline`` checkpoints them
+for the resumable build the north rule requires.
 """
 
 from __future__ import annotations
@@ -47,8 +49,8 @@ class InvertedIndex:
 
     docs: DataFrame      # doc_id, doc_len, nnz, norm, content_sha256
     vocab: DataFrame     # term, term_id, df, cf
-    postings: DataFrame  # term_id, term, salt, df_part, doc_ids, weights, max_weight
-    stats: dict          # n_docs, avg_doc_len, vocab_size
+    postings: DataFrame  # term_id, term, salt, df_part, doc_ids|ids_vb, weights, max_weight
+    stats: dict          # n_docs, avg_doc_len
     cfg: IndexConfig
 
     @property
@@ -65,6 +67,11 @@ def term_id_col(term_col):
     return F.xxhash64(term_col)
 
 
+# ---------------------------------------------------------------------------
+# composable stages (each consumed standalone by plans.pipeline checkpoints)
+# ---------------------------------------------------------------------------
+
+
 def doc_term_freqs(corpus: DataFrame, cfg: IndexConfig,
                    doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """corpus → (doc_id, term, tf).  Narrow until the single tf shuffle."""
@@ -75,23 +82,11 @@ def doc_term_freqs(corpus: DataFrame, cfg: IndexConfig,
     return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def build_index(
-    corpus: DataFrame,
-    cfg: IndexConfig | None = None,
-    doc_col: str = "doc_id",
-    content_col: str = "content",
-) -> InvertedIndex:
-    """Build the full index from a corpus DataFrame with a long ``doc_id``
-    and a string content column.  Returns lazily-planned DataFrames; callers
-    persist via ``plans.pipeline`` for the checkpointed/resumable path.
-    """
-    cfg = cfg or IndexConfig()
-    spark = corpus.sparkSession
-
-    tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
-
-    # --- docs: per-doc stats (sizes[objID]=nnz analog + BM25 doc_len + L2 norm)
-    docs = tf.groupBy("doc_id").agg(
+def docs_table(tf: DataFrame, corpus: DataFrame,
+               doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Per-doc stats: doc_len, nnz (the reference's ``sizes``), L2 norm of
+    the tf vector, and the input_hint sha256 integrity column."""
+    agg = tf.groupBy("doc_id").agg(
         F.sum("tf").alias("doc_len"),
         F.count(F.lit(1)).alias("nnz"),
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm"),
@@ -100,27 +95,33 @@ def build_index(
         F.col(doc_col).alias("doc_id"),
         F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256"),
     )
-    docs = docs.join(sha, "doc_id", "right")  # keep empty docs (doc_len null→0)
-    docs = docs.fillna({"doc_len": 0, "nnz": 0, "norm": 0.0})
+    return agg.join(sha, "doc_id", "right").fillna(
+        {"doc_len": 0, "nnz": 0, "norm": 0.0}
+    )
 
-    # --- vocab
-    vocab = tf.groupBy("term").agg(
+
+def vocab_table(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
     ).withColumn("term_id", term_id_col(F.col("term")))
 
-    # --- stats (single row; the only collect in the build)
-    srow = corpus.select(
-        F.count(F.lit(1)).alias("n_docs"),
-    ).collect()[0]
-    n_docs = srow["n_docs"]
-    arow = docs.select(F.avg("doc_len").alias("avgdl")).collect()[0]
-    stats = {
-        "n_docs": int(n_docs),
-        "avg_doc_len": float(arow["avgdl"] or 0.0),
-    }
 
-    # --- postings: weight per (term, doc), salted group-agg into sorted lists
+def compute_stats(corpus: DataFrame, docs: DataFrame) -> dict:
+    """The only collect in the build — a single scalar row."""
+    n_docs = corpus.count()
+    arow = docs.select(F.avg("doc_len").alias("avgdl")).collect()[0]
+    return {"n_docs": int(n_docs), "avg_doc_len": float(arow["avgdl"] or 0.0)}
+
+
+def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig) -> DataFrame:
+    """(doc_id, term, weight) with the scheme's document weight folded in.
+
+    bm25 folds the query-independent saturated length-normalized tf at build
+    time; normcosine stores tf/‖tf‖ (the reference assumes pre-normalized
+    vectors, /root/reference/src/winvfile.jl:8-9); binary stores weight 1
+    (weights dropped, /root/reference/src/binvfile.jl:60-62).
+    """
     wt = cfg.weight_dtype
     if cfg.weighting == "binary":
         weighted = tf.select("doc_id", "term", F.lit(1.0).cast(wt).alias("weight"))
@@ -129,9 +130,7 @@ def build_index(
             "doc_id", "term",
             (F.col("tf") / F.col("norm")).cast(wt).alias("weight"),
         )
-    else:  # bm25: store raw tf; saturation needs doc_len at query time, so
-        # fold the length-normalized saturated tf in now — it is query-
-        # independent: tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+    elif cfg.weighting == "bm25":
         k1, b = float(cfg.bm25_k1), float(cfg.bm25_b)
         avgdl = stats["avg_doc_len"] or 1.0
         weighted = tf.join(docs.select("doc_id", "doc_len"), "doc_id").select(
@@ -141,16 +140,26 @@ def build_index(
                 / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
             ).cast(wt).alias("weight"),
         )
-
+    else:
+        raise ValueError(f"unknown weighting {cfg.weighting!r}")
     # tol pruning at build, like /root/reference/src/invfile.jl:152
-    weighted = weighted.filter(F.col("weight") >= F.lit(float(cfg.tol)))
+    return weighted.filter(F.col("weight") >= F.lit(float(cfg.tol)))
 
-    # Hot-term salting: doc-RANGE-disjoint buckets (not hash) so that the
-    # per-bucket sorted sub-lists concatenate in bucket order into one
-    # globally doc-sorted list — the invariant delta-gap encoding needs.
-    hot = vocab.filter(F.col("df") > cfg.salt_df_threshold).select("term", F.lit(True).alias("is_hot"))
-    max_doc = n_docs  # doc ids are dense-ish; range split only needs an upper bound
-    weighted = (
+
+def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
+                   cfg: IndexConfig) -> DataFrame:
+    """Salted group-agg into doc-sorted posting lists.
+
+    Hot-term salting is doc-RANGE-disjoint (not hash): bucket =
+    ⌊doc_id·S/(max+1)⌋, so per-bucket sorted sub-lists concatenate in bucket
+    order into one globally doc-sorted list — the invariant delta-gap
+    encoding and the k-way merge both need.
+    """
+    hot = vocab.filter(F.col("df") > cfg.salt_df_threshold).select(
+        "term", F.lit(True).alias("is_hot")
+    )
+    max_doc = max(stats["n_docs"], 1)
+    salted = (
         weighted.join(F.broadcast(hot), "term", "left")
         .withColumn(
             "salt",
@@ -158,15 +167,14 @@ def build_index(
                 F.col("is_hot").isNotNull(),
                 F.least(
                     F.lit(cfg.salt_buckets - 1),
-                    (F.col("doc_id") * cfg.salt_buckets / F.lit(max(max_doc, 1) + 1)).cast("int"),
+                    (F.col("doc_id") * cfg.salt_buckets / F.lit(max_doc + 1)).cast("int"),
                 ),
             ).otherwise(F.lit(0)),
         )
         .drop("is_hot")
     )
-
     postings = (
-        weighted.groupBy("term", "salt")
+        salted.groupBy("term", "salt")
         .agg(
             F.count(F.lit(1)).alias("df_part"),
             F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias("plist"),
@@ -181,11 +189,28 @@ def build_index(
             F.array_max(F.col("plist.weight")).alias("max_weight"),
         )
     )
-    stats["vocab_size"] = None  # filled lazily by callers that need it
-
     if cfg.compress:
         from invertedfiles_jl_spark.operators.codec import compress_postings
 
         postings = compress_postings(postings)
+    return postings
 
+
+def build_index(
+    corpus: DataFrame,
+    cfg: IndexConfig | None = None,
+    doc_col: str = "doc_id",
+    content_col: str = "content",
+) -> InvertedIndex:
+    """Build the full index from a corpus DataFrame with a long ``doc_id``
+    and a string content column.  Returns lazily-planned DataFrames; use
+    ``plans.pipeline.build_checkpointed`` for the persisted/resumable path.
+    """
+    cfg = cfg or IndexConfig()
+    tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
+    docs = docs_table(tf, corpus, doc_col, content_col)
+    vocab = vocab_table(tf)
+    stats = compute_stats(corpus, docs)
+    weighted = weighted_pairs(tf, docs, stats, cfg)
+    postings = postings_table(weighted, vocab, stats, cfg)
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)

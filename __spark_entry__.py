@@ -237,6 +237,147 @@ def _q_corpus_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_from_documents(docs).select("doc_id", "repo", "path", "commit", "lang")
 
 
+# ---------------------------------------------------------------------------
+# training-data operators (dedup / text analysis / ANN / multimodal)
+# ---------------------------------------------------------------------------
+
+from invertedfiles_jl_spark.plans import oracles as _osql
+
+
+def _q_wand_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.wand import wand_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = wand_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_corpus(spark, sf_dir))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.dedup import near_duplicates_minhash
+
+    res = near_duplicates_minhash(_corpus(spark, sf_dir), threshold=0.5)
+    return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_ngram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.dedup import ngram_set_duplicates
+
+    return ngram_set_duplicates(_corpus(spark, sf_dir))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.dedup import simhash
+
+    return simhash(_corpus(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.functions.text import lang_id
+
+    return lang_id(_corpus(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.functions.text import token_stats
+
+    return token_stats(_corpus(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.functions.text import quality_score
+
+    return quality_score(_corpus(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.functions.text import fingerprint
+
+    return fingerprint(_corpus(spark, sf_dir))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _equeries(emb, n: int = 5):
+    from pyspark.sql import functions as F
+
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    res = brute_force_topk(emb, _equeries(emb), k=10, rank_round=6)
+    return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    res = ivf_topk(emb, _equeries(emb), k=10, n_clusters=16, nprobe=4)
+    return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
+
+
+def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.ann import embedding_near_duplicates
+
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.8, n_clusters=8)
+
+
+def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-then-append build, flattened postings — oracle is the FULL-build
+    posting relation, proving append ≡ rebuild."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.operators.search import postings_exploded
+    from invertedfiles_jl_spark.streaming.incremental import append_documents
+
+    base = _corpus(spark, sf_dir)
+    half = base.count() // 2
+    cfg = IndexConfig(weighting="binary")
+    idx = append_documents(build_index(base.filter(F.col("doc_id") < half), cfg),
+                           base.filter(F.col("doc_id") >= half))
+    return postings_exploded(idx).select("term", "doc_id")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.multimodal import attach_media, extract_features
+
+    return extract_features(attach_media(_corpus(spark, sf_dir)))
+
+
+def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    return frame_sample_plan(attach_media(_corpus(spark, sf_dir)))
+
+
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.functions.text import rolling_fingerprint
+
+    return rolling_fingerprint(_corpus(spark, sf_dir)).select("doc_id", "n_chunks")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -255,6 +396,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "postings_flat": _q_postings_flat,
         "corpus_commits": _q_corpus_commits,
+        "wand_bm25_topk": _q_wand_bm25,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_near_dups": _q_minhash,
+        "ngram_set_dups": _q_ngram_dups,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dups": _q_emb_near_dups,
+        "incremental_postings": _q_incremental_postings,
+        "media_features": _q_media_features,       # rows-only (stubbed decode)
+        "frame_sample_plan": _q_frame_plan,        # rows-only
+        "rolling_fingerprint": _q_rolling_fp,      # rows-only (UDF-only op)
     }
 
 
@@ -277,6 +434,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
 """,
         "postings_flat": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
+        "wand_bm25_topk": _bm25_sql(),
+        "dedup_exact": _osql.dedup_exact_sql(),
+        "minhash_near_dups": _osql.minhash_near_dups_sql(),
+        "ngram_set_dups": _osql.ngram_set_dups_sql(),
+        "simhash": _osql.simhash_sql(),
+        "lang_id": _osql.lang_id_sql(),
+        "token_stats": _osql.token_stats_sql(),
+        "quality_score": _osql.quality_score_sql(),
+        "fingerprint": _osql.fingerprint_sql(),
+        "ann_bruteforce": _osql.ann_bruteforce_sql(),
+        "ann_ivf": _osql.ann_ivf_sql(),
+        "embedding_near_dups": _osql.embedding_near_dups_sql(),
+        "incremental_postings": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
         "corpus_commits": """
 SELECT doc_id,
        'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 97 AS VARCHAR) AS repo,

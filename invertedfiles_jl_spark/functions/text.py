@@ -1,0 +1,149 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All default paths are pure Column expressions (whole-stage codegen; DuckDB-
+expressible for the driver oracles).  The rolling-hash fingerprint is the
+one numpy/pandas-UDF member (content-defined chunk fingerprints are not
+expressible as built-ins) and carries a rows-only correctness check.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.functions.tokenize import tokens_sql
+
+# Deterministic marker lists (synthetic-corpus scale model of stopword-based
+# language ID; real deployments swap in real stopword tables).
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "los"],
+    "fr": ["le", "les", "des", "une"],
+    "de": ["der", "die", "das", "und"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to"]
+
+
+def _arr_lit(values: list[str]) -> str:
+    inner = ", ".join(f"'{v}'" for v in values)
+    return f"array({inner})"
+
+
+def lang_id(df: DataFrame, cfg: IndexConfig | None = None,
+            doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, pred_lang) — argmax over marker-token hit counts, ties by
+    language name, 'und' when no marker hits."""
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+    hits = [
+        F.expr(f"size(array_intersect({t}, {_arr_lit(m)}))").alias(f"hits_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(doc_col).alias("doc_id"), *hits)
+    # argmax via greatest + chained when (deterministic tie-break: lang asc)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def token_stats(df: DataFrame, cfg: IndexConfig | None = None,
+                doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, mean_token_len) — whitespace tokens."""
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.expr(f"size({t})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({t}))").cast("long").alias("n_distinct"),
+        F.round(
+            F.expr(f"aggregate({t}, 0L, (acc, x) -> acc + length(x))")
+            / F.greatest(F.expr(f"size({t})"), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, cfg: IndexConfig | None = None,
+                  doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, stopword_ratio, distinct_ratio, quality) — a deterministic
+    heuristic: length-normalized stopword share + vocabulary diversity.
+    quality = 0.5·min(n_tokens/100, 1) + 0.3·distinct_ratio + 0.2·(1 − |stop_ratio − 0.4|)."""
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+    n = F.expr(f"size({t})")
+    stops = F.expr(
+        f"size(filter({t}, x -> array_contains({_arr_lit(STOPWORDS)}, x)))"
+    )
+    distinct = F.expr(f"size(array_distinct({t}))")
+    stop_ratio = stops / F.greatest(n, F.lit(1))
+    distinct_ratio = distinct / F.greatest(n, F.lit(1))
+    quality = (
+        0.5 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * distinct_ratio
+        + 0.2 * (1.0 - F.abs(stop_ratio - 0.4))
+    )
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, cfg: IndexConfig | None = None,
+                doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, fp) — md5 of the whitespace-normalized lowercased token
+    stream: a canonical content fingerprint stable under whitespace noise."""
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.md5(F.expr(f"concat_ws(' ', {t})")).alias("fp"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, window: int = 16, mod: int = (1 << 61) - 1,
+                        base: int = 257, doc_col: str = "doc_id",
+                        content_col: str = "content") -> DataFrame:
+    """(doc_id, n_chunks, chunk_hashes array<long>) — Karp–Rabin rolling hash
+    over bytes with content-defined chunk boundaries (hash % 64 == 0).
+    numpy-vectorized pandas UDF (Arrow batches, no per-row Python loops over
+    chars beyond the window warm-up recurrence, which numpy cannot express
+    without a scan — implemented as a vectorized polynomial evaluation per
+    position via cumulative products)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _chunks(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts.fillna(""):
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < window:
+                out.append([int(b.sum() % mod)] if len(b) else [])
+                continue
+            # rolling polynomial hash via sliding_window_view matmul (mod'd)
+            powers = np.array([pow(base, window - 1 - i, mod) for i in range(window)],
+                              dtype=object)
+            win = np.lib.stride_tricks.sliding_window_view(b, window)
+            hashes = (win.astype(object) @ powers) % mod
+            cuts = np.flatnonzero((hashes % 64) == 0)
+            bounds = np.concatenate(([0], cuts + window, [len(b)]))
+            bounds = np.unique(np.clip(bounds, 0, len(b)))
+            chunks = []
+            for i in range(len(bounds) - 1):
+                seg = b[bounds[i]:bounds[i + 1]]
+                if len(seg):
+                    chunks.append(int((seg.astype(object) @
+                                       np.array([pow(base, len(seg) - 1 - j, mod)
+                                                 for j in range(len(seg))], dtype=object)) % mod))
+            out.append(chunks)
+        return pd.Series(out)
+
+    res = df.select(F.col(doc_col).alias("doc_id"), _chunks(F.col(content_col)).alias("chunk_hashes"))
+    return res.select("doc_id", F.size("chunk_hashes").alias("n_chunks"), "chunk_hashes")

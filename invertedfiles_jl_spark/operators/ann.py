@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+  * ``brute_force_topk`` — exact cosine top-k via a cross join with a
+    double-precision JVM fold (zip_with + aggregate — whole-stage codegen,
+    no Python).  The correctness baseline; O(Q·N·d).
+  * ``ivf_topk`` — the scale path: IVF with deterministic seed centroids
+    (the first ``n_clusters`` vectors), one-shot assignment, query probes
+    the ``nprobe`` nearest clusters.  At 100 TB the assignment is one
+    broadcast join + argmax and the probe prunes the candidate set by
+    ~n_clusters/nprobe; recall is data-dependent (pytest pins it on the
+    fixture).  Deterministic ⇒ DuckDB-oracle-checkable (same algorithm, not
+    just same answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Double-precision dot product of two float-array columns (JVM fold)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(
+        f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    ))
+
+
+def with_cosine(df: DataFrame, a: str = "q_emb", b: str = "d_emb") -> DataFrame:
+    return df.withColumn("cos", _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     exclude_self: bool = True,
+                     rank_round: int | None = 6) -> DataFrame:
+    """Exact cosine top-k: queries(query_id, q_emb) × emb(vec_id, embedding).
+
+    Query side broadcast (always the small side); candidates ranked by
+    (cos desc, vec_id asc).
+    """
+    j = emb.select("vec_id", F.col("embedding").alias("d_emb")).crossJoin(
+        F.broadcast(queries.select("query_id", "q_emb"))
+    )
+    if exclude_self:
+        j = j.filter(F.col("vec_id") != F.col("query_id"))
+    scored = with_cosine(j).select("query_id", "vec_id", "cos")
+    key = F.round(F.col("cos"), rank_round) if rank_round is not None else F.col("cos")
+    w = Window.partitionBy("query_id").orderBy(key.desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def assign_clusters(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
+    """(vec_id, cluster) — nearest (max-cosine) of the first n_clusters
+    vectors, deterministic tie-break by centroid id."""
+    cents = emb.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("c_emb")
+    )
+    j = emb.select("vec_id", F.col("embedding").alias("d_emb")).crossJoin(F.broadcast(cents))
+    scored = with_cosine(j, "c_emb", "d_emb")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4,
+             exclude_self: bool = True) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k: probe the nprobe clusters
+    whose centroids best match the query; exact rank within candidates."""
+    assign = assign_clusters(emb, n_clusters)
+    cents = emb.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("c_emb")
+    )
+    qprobe = with_cosine(
+        queries.select("query_id", "q_emb").crossJoin(F.broadcast(cents)),
+        "q_emb", "c_emb",
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("cluster").asc()
+    )
+    probed = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cands = (
+        probed.join(assign, "cluster")
+        .join(emb.select("vec_id", F.col("embedding").alias("d_emb")), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "q_emb")), "query_id")
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("vec_id") != F.col("query_id"))
+    scored = with_cosine(cands).select("query_id", "vec_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
+                              n_clusters: int = 16) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold, candidates bucketed
+    by IVF cluster (same-cluster pairs only — the LSH-style prune that keeps
+    this off the n² cross product at scale)."""
+    assign = assign_clusters(emb, n_clusters)
+    with_c = emb.join(assign, "vec_id")
+    a = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("a_emb"))
+    b = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("b_emb"))
+    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = with_cosine(pairs, "a_emb", "b_emb")
+    return (
+        scored.filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )

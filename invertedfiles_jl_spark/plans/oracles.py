@@ -1,0 +1,273 @@
+"""DuckDB oracle SQL builders for the training-data operators.
+
+Each builder mirrors the corresponding Spark plan's arithmetic token for
+token (md5/ascii/floor/round behave identically in both engines — probed).
+Tokenization/shingling dialects live in functions.tokenize / operators.dedup.
+"""
+
+from __future__ import annotations
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.functions.tokenize import duckdb_tokens_sql
+from invertedfiles_jl_spark.functions.text import LANG_MARKERS, STOPWORDS
+from invertedfiles_jl_spark.operators.dedup import (
+    N_HASHES,
+    BAND_ROWS,
+    SIMHASH_BITS,
+    duckdb_shingles_sql,
+    simhash_bit_sums_sql,
+    simhash_combine_sql,
+)
+
+_CFG = IndexConfig()
+_T = duckdb_tokens_sql("text", _CFG)
+_SH = duckdb_shingles_sql("text", _CFG, 3)
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+g AS (
+  SELECT h, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM h GROUP BY h HAVING count(*) > 1
+)
+SELECT doc_id, canonical_id, group_size FROM h JOIN g USING (h)
+"""
+
+
+def minhash_near_dups_sql(threshold: float = 0.5) -> str:
+    mins = ",\n         ".join(
+        f"min(md5(shingle || '#{h}')) AS mh{h}" for h in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(mh{b * BAND_ROWS}"
+        + "".join(f" || mh{b * BAND_ROWS + r}" for r in range(1, BAND_ROWS))
+        + ") AS sig FROM sig"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS isize
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, round(isize / (sa.sz + sb.sz - isize), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE isize / (sa.sz + sb.sz - isize) >= {threshold}
+"""
+
+
+def ngram_set_dups_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(string_agg(shingle, chr(1) ORDER BY shingle)) AS fp
+  FROM sh GROUP BY doc_id
+),
+g AS (
+  SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM fp GROUP BY fp HAVING count(*) > 1
+)
+SELECT doc_id, canonical_id, group_size FROM fp JOIN g USING (fp)
+"""
+
+
+def simhash_sql() -> str:
+    sums = ",\n         ".join(f"{e} AS {a}" for e, a in simhash_bit_sums_sql(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_T}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+hashed AS (SELECT doc_id, md5(term) AS h, tf FROM tf),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({simhash_combine_sql(SIMHASH_BITS)} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        f"len(list_intersect({_T}, {LANG_MARKERS[lang]!r})) AS hits_{lang}".replace("'", "'")
+        for lang in langs
+    )
+    # python list repr uses single quotes — valid DuckDB list literal
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + f"{best} <= 0 THEN 'und' "
+    for lang in langs:
+        pred += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {hit_cols}
+  FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang FROM scored
+"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len({_T}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_T})) AS BIGINT) AS n_distinct,
+       round(list_sum(list_transform({_T}, x -> length(x))) / greatest(len({_T}), 1), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def quality_score_sql() -> str:
+    stop = str(STOPWORDS)
+    n = f"len({_T})"
+    stops = f"len(list_filter({_T}, x -> list_contains({stop}, x)))"
+    distinct = f"len(list_distinct({_T}))"
+    sr = f"({stops} / greatest({n}, 1))"
+    dr = f"({distinct} / greatest({n}, 1))"
+    q = f"(0.5 * least({n} / 100.0, 1.0) + 0.3 * {dr} + 0.2 * (1.0 - abs({sr} - 0.4)))"
+    return f"""
+SELECT doc_id,
+       round({sr}, 6) AS stopword_ratio,
+       round({dr}, 6) AS distinct_ratio,
+       round({q}, 6) AS quality
+FROM documents
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"SELECT doc_id, md5(array_to_string({_T}, ' ')) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = ("(SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) "
+        "FROM (SELECT unnest({x}) a, unnest({y}) b))")
+_NRM = ("sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) "
+        "FROM (SELECT unnest({x}) a)))")
+
+
+def _cos(x: str, y: str) -> str:
+    return f"({_DOT.format(x=x, y=y)} / ({_NRM.format(x=x)} * {_NRM.format(x=y)}))"
+
+
+def ann_bruteforce_sql(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos('q.q_emb', 'e.embedding')} AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_ivf_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                n_queries: int = 5) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM assign_scored
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+qprobe AS (
+  SELECT q.query_id, c.cluster, {_cos('q.q_emb', 'c.c_emb')} AS cos
+  FROM q CROSS JOIN cents c
+),
+probed AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM qprobe
+  ) WHERE r <= {nprobe}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id, q.q_emb, e.embedding AS d_emb
+  FROM probed p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id, {_cos('q_emb', 'd_emb')} AS cos FROM cands
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dups_sql(threshold: float = 0.8, n_clusters: int = 8) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM assign_scored
+  ) WHERE r = 1
+),
+wc AS (SELECT e.vec_id, e.embedding, a.cluster FROM embeddings e JOIN assign a USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos('a.embedding', 'b.embedding')} AS cos
+  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
+"""

@@ -1,0 +1,148 @@
+"""Incremental append — the reference's ``push_item!`` re-expressed as
+micro-batch merge (/root/reference/src/invfile.jl:123-147: insert pairs,
+re-sort touched posting lists, append to sizes).
+
+The reference mutates in place (single insert, not thread-safe); the Spark
+analog builds a delta index from the new documents and merges posting lists
+with the persisted index:  old ∪ delta exploded → regroup → re-sorted lists.
+Only TOUCHED terms regroup (untouched posting rows pass through unchanged),
+so the merge cost scales with the delta's term footprint, not the index size.
+A Structured-Streaming source can drive this via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import (
+    InvertedIndex,
+    build_index,
+)
+
+
+def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
+    """Merge two indexes over disjoint doc_id sets (caller guarantees
+    disjointness, like the reference's explicit objID contract,
+    /root/reference/src/invfile.jl:136)."""
+    cfg = old.cfg
+    assert cfg.weighting == delta.cfg.weighting
+
+    touched = delta.postings.select("term").distinct()
+
+    untouched = old.postings.join(F.broadcast(touched), "term", "left_anti")
+    to_merge = old.postings.join(F.broadcast(touched), "term", "semi").unionByName(
+        delta.postings
+    )
+    exploded = to_merge.select(
+        "term", "salt",
+        F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
+    ).select(
+        "term", "salt",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.weights").alias("weight"),
+    )
+    from invertedfiles_jl_spark.operators.build import term_id_col
+
+    remerged = (
+        exploded.groupBy("term", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("df_part"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias("plist"),
+        )
+        .select(
+            term_id_col(F.col("term")).alias("term_id"),
+            "term", "salt", "df_part",
+            F.col("plist.doc_id").alias("doc_ids"),
+            F.col("plist.weight").alias("weights"),
+            F.array_max(F.col("plist.weight")).alias("max_weight"),
+        )
+    )
+    postings = untouched.unionByName(remerged)
+
+    docs = old.docs.unionByName(delta.docs)
+    vocab = (
+        old.vocab.unionByName(delta.vocab)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("term_id", term_id_col(F.col("term").cast("string")))
+    )
+    n = old.stats["n_docs"] + delta.stats["n_docs"]
+    old_len = (old.stats["avg_doc_len"] or 0.0) * old.stats["n_docs"]
+    new_len = (delta.stats["avg_doc_len"] or 0.0) * delta.stats["n_docs"]
+    stats = {"n_docs": n, "avg_doc_len": (old_len + new_len) / max(n, 1)}
+    return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
+
+
+def append_documents(old: InvertedIndex, new_corpus: DataFrame,
+                     doc_col: str = "doc_id", content_col: str = "content") -> InvertedIndex:
+    """append_items! over an existing index: build the delta with the SAME
+    config, then merge.
+
+    NOTE (bm25): the stored saturated tf depends on the avgdl at build time;
+    after appending, stored weights keep their original avgdl (exactly like
+    any real incremental BM25 index — full rebuilds re-center the statistics;
+    pytest covers the normcosine/binary paths where weights are
+    append-invariant).
+    """
+    delta = build_index(new_corpus, old.cfg, doc_col, content_col)
+    if old.cfg.weighting == "bm25":
+        # recompute delta weights under the OLD avgdl for consistency
+        from invertedfiles_jl_spark.operators.build import (
+            doc_term_freqs,
+            docs_table,
+            postings_table,
+            vocab_table,
+            weighted_pairs,
+        )
+
+        tf = doc_term_freqs(new_corpus, old.cfg, doc_col, content_col)
+        docs = docs_table(tf, new_corpus, doc_col, content_col)
+        vocab = vocab_table(tf)
+        stats = dict(delta.stats, avg_doc_len=old.stats["avg_doc_len"])
+        weighted = weighted_pairs(tf, docs, stats, old.cfg)
+        delta = InvertedIndex(
+            docs=docs, vocab=vocab,
+            postings=postings_table(weighted, vocab, stats, old.cfg),
+            stats=delta.stats, cfg=old.cfg,
+        )
+    return merge_indexes(old, delta)
+
+
+def stream_append(spark: SparkSession, stream_df: DataFrame, index_path: str,
+                  cfg: IndexConfig, checkpoint: str):
+    """Structured-Streaming driver: micro-batches of new documents merged
+    into the persisted index via foreachBatch (each batch = one
+    ``append_documents`` + checkpointed rewrite).  The reference has no
+    streaming; this is the engine's micro-batch analog of repeated
+    ``push_item!``."""
+    from invertedfiles_jl_spark.plans.pipeline import build_checkpointed, load_index
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        old = load_index(spark, index_path)
+        merged = merge_indexes(old, build_index(batch_df, cfg))
+        tmp = index_path + f".batch{batch_id}"
+        merged.postings.write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+        merged.docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+        merged.vocab.write.mode("overwrite").parquet(os.path.join(tmp, "vocab"))
+        for name in ("postings", "docs", "vocab"):
+            final = os.path.join(index_path, name)
+            spark.read.parquet(os.path.join(tmp, name)).write.mode("overwrite").parquet(final)
+        with open(os.path.join(index_path, "index.json")) as f:
+            meta = json.load(f)
+        meta["stats"] = merged.stats
+        with open(os.path.join(index_path, "index.json"), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True, default=str)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,111 @@
+"""Dedup operators vs independent python oracles on the documents fixture."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.dedup import (
+    exact_duplicates,
+    near_duplicates_minhash,
+    ngram_set_duplicates,
+    simhash,
+)
+
+CFG = IndexConfig()
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = [t.lower() for t in text.split() if t]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(documents):
+    """documents + exact copies of docs 0-4 at doc_id 10000+."""
+    base = documents.select("doc_id", F.col("text").alias("content"))
+    dups = (
+        base.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "content")
+    )
+    return base.unionByName(dups)
+
+
+def test_exact_duplicates(corpus_with_dups):
+    rows = exact_duplicates(corpus_with_dups).collect()
+    got = {(r["doc_id"], r["canonical_id"], r["group_size"]) for r in rows}
+    expect = set()
+    for d in range(5):
+        expect.add((d, d, 2))
+        expect.add((d + 10000, d, 2))
+    assert got == expect
+
+
+def test_ngram_set_duplicates_finds_exact_copies(corpus_with_dups):
+    rows = ngram_set_duplicates(corpus_with_dups, CFG).collect()
+    pairs = {(r["doc_id"], r["canonical_id"]) for r in rows}
+    for d in range(5):
+        assert (d + 10000, d) in pairs
+
+
+def test_minhash_near_duplicates_verified(documents, docs_pandas):
+    base = documents.select("doc_id", F.col("text").alias("content"))
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in near_duplicates_minhash(base, CFG, threshold=0.5).collect()}
+    texts = dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+    sets = {d: _shingle_set(t) for d, t in texts.items()}
+    # 1) every reported pair's jaccard is exact and ≥ threshold
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        gold = inter / (len(sets[a]) + len(sets[b]) - inter)
+        assert abs(gold - j) < 1e-9
+        assert gold >= 0.5
+    # 2) every VERY similar pair (j ≥ 0.9) is found — at 4 bands × 2 rows the
+    # LSH detection probability is 1-(1-s²)^4 ≈ 0.9987, and with fixed md5
+    # hash functions detection is deterministic; assert none are missed
+    ids = sorted(sets)
+    high = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.9
+    ]
+    assert high, "fixture should contain near-dup pairs (the 'dup' docs)"
+    for p in high:
+        assert p in got, f"missed high-sim pair {p}"
+
+
+def test_simhash_matches_python_oracle(documents, docs_pandas):
+    base = documents.select("doc_id", F.col("text").alias("content")).filter(
+        F.col("doc_id") < 50
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(base, CFG).collect()}
+
+    def py_simhash(text: str, bits: int = 16) -> int:
+        tf = Counter(t.lower() for t in text.split() if t)
+        sums = [0] * bits
+        for term, cnt in tf.items():
+            h = hashlib.md5(term.encode()).hexdigest()
+            for b in range(bits):
+                nib = int(h[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                sums[b] += cnt if bit else -cnt
+        return sum(2 ** b for b in range(bits) if sums[b] > 0)
+
+    texts = dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+    for d, s in got.items():
+        assert s == py_simhash(texts[d]), f"doc {d}"
+
+
+def test_simhash_identical_docs_collide(corpus_with_dups):
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(corpus_with_dups.filter(
+               (F.col("doc_id") < 5) | (F.col("doc_id") >= 10000)), CFG).collect()}
+    for d in range(5):
+        assert got[d] == got[d + 10000]

@@ -1,0 +1,175 @@
+"""Text analysis, ANN, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_stats,
+)
+from invertedfiles_jl_spark.operators.ann import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+)
+from invertedfiles_jl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_media,
+    extract_features,
+    frame_sample_plan,
+)
+
+CFG = IndexConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+def test_token_stats(corpus, docs_pandas):
+    got = {r["doc_id"]: r for r in token_stats(corpus, CFG).collect()}
+    for d, t in zip(docs_pandas["doc_id"][:50], docs_pandas["text"][:50]):
+        toks = [x.lower() for x in t.split() if x]
+        assert got[d]["n_tokens"] == len(toks)
+        assert got[d]["n_distinct"] == len(set(toks))
+        assert abs(got[d]["mean_token_len"]
+                   - round(sum(map(len, toks)) / max(len(toks), 1), 6)) < 1e-9
+
+
+def test_quality_and_lang(corpus):
+    q = quality_score(corpus, CFG).collect()
+    assert all(0.0 <= r["quality"] <= 1.01 for r in q)
+    langs = {r["pred_lang"] for r in lang_id(corpus, CFG).collect()}
+    assert langs <= {"en", "es", "fr", "de", "und"}
+    # the corpus contains 'the' and 'a' → docs with those predict en
+    assert "en" in langs
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world  foo"), (2, "hello world foo"), (3, "HELLO world foo"),
+         (4, "different text here")],
+        "doc_id long, content string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df, CFG).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 20), (2, "the quick brown fox " * 20),
+         (3, "a totally different document body " * 15), (4, "short")],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: (r["n_chunks"], list(r["chunk_hashes"]))
+            for r in rolling_fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert rows[4][0] >= 1
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_dir):
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    return np.array(df["embedding"].tolist(), dtype=np.float64)
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_brute_force_matches_numpy(emb, emb_np, spark):
+    got = {}
+    for r in brute_force_topk(emb, _queries(emb), k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    norms = np.linalg.norm(emb_np, axis=1)
+    for qi in range(5):
+        cos = (emb_np @ emb_np[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(len(cos)), -np.round(cos, 6)))[:10]
+        got[qi].sort()
+        assert [v for _, v, _ in got[qi]] == order.tolist(), f"q{qi}"
+        for (_, _, c), gi in zip(got[qi], order):
+            assert abs(c - cos[gi]) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(emb, spark):
+    gold = {}
+    for r in brute_force_topk(emb, _queries(emb), k=10).collect():
+        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ivf_topk(emb, _queries(emb), k=10, n_clusters=16, nprobe=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(gold[q] & got.get(q, set())) / 10 for q in gold]
+    assert np.mean(recalls) >= 0.5, f"IVF recall {np.mean(recalls)}"
+
+
+def test_embedding_near_duplicates_verified(emb, emb_np):
+    rows = embedding_near_duplicates(emb, threshold=0.8, n_clusters=8).collect()
+    norms = np.linalg.norm(emb_np, axis=1)
+    for r in rows:
+        a, b = r["vec_a"], r["vec_b"]
+        cos = float(emb_np[a] @ emb_np[b] / (norms[a] * norms[b]))
+        assert cos >= 0.8 - 1e-6
+        assert abs(cos - r["cos"]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_schema_and_features(corpus, spark):
+    media = attach_media(corpus.limit(100))
+    assert set(media.columns) == {"doc_id", "modality", "payload", "meta"}
+    feats = extract_features(media).collect()
+    assert len(feats) == 100
+    for r in feats[:10]:
+        assert len(r["feature"]) == FEATURE_DIM
+    # deterministic: same payload → same features
+    again = {r["doc_id"]: list(r["feature"])
+             for r in extract_features(media).collect()}
+    first = {r["doc_id"]: list(r["feature"]) for r in feats}
+    assert again == first
+
+
+def test_media_real_mode_raises(corpus):
+    media = attach_media(corpus.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(media, mode="real").collect()
+
+
+def test_frame_sample_plan(corpus):
+    media = attach_media(corpus.limit(200))
+    plan = frame_sample_plan(media, every_n=30)
+    rows = plan.collect()
+    vids = media.filter(F.col("modality") == "video").count()
+    assert len(rows) >= vids  # ≥1 frame per video
+    assert all(r["frame_idx"] % 30 == 0 for r in rows)

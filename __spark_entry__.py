@@ -49,7 +49,14 @@ def _index(spark: SparkSession, sf_dir: str, weighting: str):
     key = (sf_dir, weighting)
     if key not in _INDEX_CACHE:
         cfg = IndexConfig(weighting=weighting, weight_dtype="double")
-        _INDEX_CACHE[key] = build_index(_corpus(spark, sf_dir), cfg)
+        idx = build_index(_corpus(spark, sf_dir), cfg)
+        # materialize once — the driver runs many queries against the same
+        # index; without this every query would recompute the build lineage
+        idx.postings = idx.postings.cache()
+        idx.docs = idx.docs.cache()
+        idx.vocab = idx.vocab.cache()
+        idx.postings.count()
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 

@@ -59,7 +59,7 @@ class IndexConfig:
     tol: float = 1e-6
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
-    salt_df_threshold: int = 100_000
+    salt_df_threshold: int = 10_000
     salt_buckets: int = 16
     compress: bool = False
     shuffle_partitions: int | None = None

@@ -72,9 +72,25 @@ def term_id_col(term_col):
 # ---------------------------------------------------------------------------
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy map work.
+
+    Small parquet inputs (or a single dense file) arrive in fewer partitions
+    than cores — the tokenize+explode+partial-agg stage would then run on a
+    fraction of the cluster.  A one-off round-robin repartition costs one
+    narrow shuffle of the raw corpus and unlocks full map parallelism.
+    At real scale (many parquet files ≫ cores) this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_term_freqs(corpus: DataFrame, cfg: IndexConfig,
                    doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """corpus → (doc_id, term, tf).  Narrow until the single tf shuffle."""
+    corpus = ensure_parallelism(corpus)
     toks = corpus.select(
         F.col(doc_col).alias("doc_id"),
         F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),

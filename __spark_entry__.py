@@ -385,6 +385,54 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_corpus(spark, sf_dir)).select("doc_id", "n_chunks")
 
 
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.meta import describe_index
+
+    # n_posting_rows is salting-dependent (physical layout) — compare only
+    # the logical-stat columns against the oracle
+    return describe_index(_index(spark, sf_dir, "binary")).select(
+        "weighting", "vocab_size", "n_docs", "total_postings"
+    )
+
+
+def _q_search_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invertedfiles_jl_spark.operators.meta import search_cost
+
+    return search_cost(_index(spark, sf_dir, "binary"), queries_df(spark))
+
+
+def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: register index tables as views, answer with spark.sql."""
+    from invertedfiles_jl_spark.operators.meta import register_index
+
+    register_index(_index(spark, sf_dir, "binary"), prefix="ifq")
+    return spark.sql(
+        "SELECT term, df, cf FROM ifq_vocab WHERE df > 10 ORDER BY term"
+    )
+
+
+def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allknn over the first 50 docs as queries (rows-only; the exhaustive
+    parity gate runs in pytest on the dense fixture)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+    from invertedfiles_jl_spark.operators.knn import allknn, build_vector_index
+
+    corpus = _corpus(spark, sf_dir)
+    cfg = IndexConfig(weighting="normcosine", weight_dtype="double")
+    tf = doc_term_freqs(corpus, cfg)
+    norm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("n")
+    )
+    pairs = tf.join(norm, "doc_id").select(
+        "doc_id", "term", (F.col("tf") / F.col("n")).alias("weight")
+    )
+    idx = build_vector_index(pairs, cfg)
+    sample = pairs.filter(F.col("doc_id") < 50)
+    return allknn(idx, sample, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -416,6 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_emb_near_dups,
         "incremental_postings": _q_incremental_postings,
+        "index_stats": _q_index_stats,
+        "search_cost": _q_search_cost,
+        "sql_surface": _q_sql_surface,
+        "allknn_sample": _q_allknn_sample,         # rows-only (pytest-gated)
         "media_features": _q_media_features,       # rows-only (stubbed decode)
         "frame_sample_plan": _q_frame_plan,        # rows-only
         "rolling_fingerprint": _q_rolling_fp,      # rows-only (UDF-only op)
@@ -454,6 +506,26 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_ivf": _osql.ann_ivf_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(),
         "incremental_postings": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
+        "index_stats": f"""
+WITH {_BASE_CTES}
+SELECT 'binary' AS weighting,
+       CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS total_postings
+""",
+        "search_cost": f"""
+WITH {_BASE_CTES}
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(df) AS BIGINT) AS n_entries
+FROM (SELECT DISTINCT query_id, term FROM qt) q
+JOIN vocab USING (term)
+GROUP BY query_id
+""",
+        "sql_surface": f"""
+WITH {_BASE_CTES}
+SELECT term, df, cf FROM vocab WHERE df > 10 ORDER BY term
+""",
         "corpus_commits": """
 SELECT doc_id,
        'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo' || CAST(doc_id % 97 AS VARCHAR) AS repo,

@@ -411,6 +411,72 @@ def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _norm_doc_pairs(spark: SparkSession, sf_dir: str):
+    """(doc_id, term, weight=tf/‖tf‖) pairs — the pre-normalized vector view
+    of the corpus (Dist.NormCosine contract)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+
+    cfg = IndexConfig(weighting="normcosine", weight_dtype="double")
+    tf = doc_term_freqs(_corpus(spark, sf_dir), cfg)
+    norm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("n")
+    )
+    return tf.join(norm, "doc_id").select(
+        "doc_id", "term", (F.col("tf") / F.col("n")).alias("weight")
+    )
+
+
+def _norm_query_pairs(spark: SparkSession):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import query_terms
+
+    qt = query_terms(queries_df(spark), IndexConfig())
+    qn = qt.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qtf") * F.col("qtf"))).alias("qn")
+    )
+    return qt.join(qn, "query_id").select(
+        "query_id", "term", (F.col("qtf") / F.col("qn")).alias("qw")
+    )
+
+
+def _q_exhaustive_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExhaustiveSearch gold standard (/root/reference/test/invfiles.jl:21):
+    every doc scored, non-overlapping docs at distance 1."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.exhaustive import exhaustive_cosine_topk
+
+    res = exhaustive_cosine_topk(
+        _norm_doc_pairs(spark, sf_dir), _norm_query_pairs(spark), k=10,
+        docs=_corpus(spark, sf_dir).select("doc_id"), rank_round=6,
+    )
+    return res.select("query_id", "rank", "doc_id", F.round("dist", 5).alias("dist"))
+
+
+def _q_recall_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recallscore of the indexed cosine search vs the exhaustive gold
+    (/root/reference/test/invfiles.jl:23 semantics, per query)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.exhaustive import (
+        exhaustive_cosine_topk,
+        recallscore,
+    )
+
+    gold = exhaustive_cosine_topk(
+        _norm_doc_pairs(spark, sf_dir), _norm_query_pairs(spark), k=10,
+        docs=_corpus(spark, sf_dir).select("doc_id"), rank_round=6,
+    )
+    idx = _index(spark, sf_dir, "normcosine")
+    res = cosine_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return recallscore(gold, res).select(
+        "query_id", F.round("recall", 6).alias("recall")
+    )
+
+
 def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """allknn over the first 50 docs as queries (rows-only; the exhaustive
     parity gate runs in pytest on the dense fixture)."""
@@ -467,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "search_cost": _q_search_cost,
         "sql_surface": _q_sql_surface,
+        "exhaustive_cosine": _q_exhaustive_cosine,
+        "recall_cosine_vs_exhaustive": _q_recall_cosine,
         "allknn_sample": _q_allknn_sample,         # rows-only (pytest-gated)
         "media_features": _q_media_features,       # rows-only (stubbed decode)
         "frame_sample_plan": _q_frame_plan,        # rows-only
@@ -525,6 +593,72 @@ GROUP BY query_id
         "sql_surface": f"""
 WITH {_BASE_CTES}
 SELECT term, df, cf FROM vocab WHERE df > 10 ORDER BY term
+""",
+        "exhaustive_cosine": f"""
+WITH {_BASE_CTES},
+qn AS (
+  SELECT query_id, sqrt(CAST(sum(qtf * qtf) AS DOUBLE)) AS qn FROM qt GROUP BY query_id
+),
+dots AS (
+  SELECT qt.query_id, tf.doc_id, sum((qtf / qn) * (tf / norm)) AS dot
+  FROM qt JOIN qn ON qt.query_id = qn.query_id
+  JOIN tf ON qt.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY qt.query_id, tf.doc_id
+),
+allp AS (
+  SELECT q.query_id, d.doc_id
+  FROM (SELECT DISTINCT query_id FROM qt) q CROSS JOIN (SELECT doc_id FROM documents) d
+),
+scored AS (
+  SELECT allp.query_id, allp.doc_id, 1.0 - coalesce(dot, 0.0) AS dist
+  FROM allp LEFT JOIN dots ON allp.query_id = dots.query_id AND allp.doc_id = dots.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dist, 6) ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(dist, 5) AS dist
+FROM ranked WHERE rank <= 10
+""",
+        "recall_cosine_vs_exhaustive": f"""
+WITH {_BASE_CTES},
+qn AS (
+  SELECT query_id, sqrt(CAST(sum(qtf * qtf) AS DOUBLE)) AS qn FROM qt GROUP BY query_id
+),
+dots AS (
+  SELECT qt.query_id, tf.doc_id, sum((qtf / qn) * (tf / norm)) AS dot
+  FROM qt JOIN qn ON qt.query_id = qn.query_id
+  JOIN tf ON qt.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY qt.query_id, tf.doc_id
+),
+allp AS (
+  SELECT q.query_id, d.doc_id
+  FROM (SELECT DISTINCT query_id FROM qt) q CROSS JOIN (SELECT doc_id FROM documents) d
+),
+ex AS (
+  SELECT allp.query_id, allp.doc_id,
+         row_number() OVER (PARTITION BY allp.query_id
+              ORDER BY round(1.0 - coalesce(dot, 0.0), 6) ASC, allp.doc_id ASC) AS rank
+  FROM allp LEFT JOIN dots ON allp.query_id = dots.query_id AND allp.doc_id = dots.doc_id
+),
+gold AS (SELECT query_id, doc_id FROM ex WHERE rank <= 10),
+ires AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(1.0 - dot, 6) ASC, doc_id ASC) AS rank
+  FROM dots
+),
+res AS (SELECT query_id, doc_id FROM ires WHERE rank <= 10),
+per AS (
+  SELECT g.query_id, CAST(count(r.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+  FROM gold g LEFT JOIN res r ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+  GROUP BY g.query_id
+)
+SELECT query_id, round(recall, 6) AS recall FROM per
 """,
         "corpus_commits": """
 SELECT doc_id,

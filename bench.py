@@ -108,6 +108,15 @@ def run_scaling_job(cpus: int, n_docs: int = 200_000, n_queries: int = 500) -> d
 
 
 def run_once(cpus: int) -> dict:
+    """Steady-state measurements: a throwaway warm-up job absorbs one-time
+    session costs (codegen compile, Python-worker spawn, parquet footer
+    cache), then each build is timed once and each query batch is the median
+    of 3 runs after its own warm-up — same protocol as run_scaling_job.
+    Cold-start is a per-session constant, not a per-job property of the
+    engine, and would otherwise dominate whichever job happens to run first.
+    """
+    import statistics
+
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.config import IndexConfig
@@ -122,42 +131,44 @@ def run_once(cpus: int) -> dict:
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", F.col("text").alias("content"))
     )
-    corpus.count()  # warm executors / parquet footer cache
+    corpus.count()
+    qdf = gen_queries(spark)
+
+    def timed_query(fn, *args, **kw):
+        assert fn(*args, **kw).count() > 0  # warm-up (codegen + workers)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(*args, **kw).count()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
 
     out = {}
     tmp = tempfile.mkdtemp(prefix="ifbench_")
     try:
+        # throwaway small build: compiles the whole build pipeline's codegen
+        # and spawns arrow/pandas workers before anything is timed
+        build_checkpointed(corpus.limit(1000), f"{tmp}/warm",
+                           IndexConfig(weighting="bm25"), resume=False)
+
         t0 = time.perf_counter()
         build_checkpointed(corpus, f"{tmp}/bm25", IndexConfig(weighting="bm25"), resume=False)
         out["build_bm25"] = time.perf_counter() - t0
         idx = load_index(spark, f"{tmp}/bm25")
-
-        qdf = gen_queries(spark)
-        t0 = time.perf_counter()
-        n = bm25_topk(idx, qdf, k=10).count()
-        out["bm25_planA_100q"] = time.perf_counter() - t0
-        assert n > 0
-
-        t0 = time.perf_counter()
-        n = wand_topk(idx, qdf, k=10).count()
-        out["bm25_wand_100q"] = time.perf_counter() - t0
-        assert n > 0
+        out["bm25_planA_100q"] = timed_query(bm25_topk, idx, qdf, k=10)
+        out["bm25_wand_100q"] = timed_query(wand_topk, idx, qdf, k=10)
 
         t0 = time.perf_counter()
         build_checkpointed(corpus, f"{tmp}/cos", IndexConfig(weighting="normcosine"), resume=False)
         out["build_normcosine"] = time.perf_counter() - t0
         cidx = load_index(spark, f"{tmp}/cos")
-        t0 = time.perf_counter()
-        cosine_topk(cidx, qdf, k=10).count()
-        out["cosine_planA_100q"] = time.perf_counter() - t0
+        out["cosine_planA_100q"] = timed_query(cosine_topk, cidx, qdf, k=10)
 
         t0 = time.perf_counter()
         build_checkpointed(corpus, f"{tmp}/bin", IndexConfig(weighting="binary"), resume=False)
         out["build_binary"] = time.perf_counter() - t0
         bidx = load_index(spark, f"{tmp}/bin")
-        t0 = time.perf_counter()
-        set_distance_topk(bidx, qdf, k=10, dist="jaccard").count()
-        out["jaccard_100q"] = time.perf_counter() - t0
+        out["jaccard_100q"] = timed_query(set_distance_topk, bidx, qdf, k=10, dist="jaccard")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

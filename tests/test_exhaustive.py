@@ -1,0 +1,86 @@
+"""Exhaustive search + recall metrics (reference test-oracle surface,
+/root/reference/test/invfiles.jl:21-27,97-98)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 4 docs, 3 terms — hand-checkable normalized vectors
+    rows = [
+        (1, "a", 1.0), (1, "b", 0.0),
+        (2, "a", 0.6), (2, "b", 0.8),
+        (3, "b", 1.0),
+        (4, "c", 1.0),
+    ]
+    pairs = spark.createDataFrame(
+        [r for r in rows if r[2] > 0], "doc_id long, term string, weight double"
+    )
+    qpairs = spark.createDataFrame(
+        [(1, "a", 1.0)], "query_id long, term string, qw double"
+    )
+    return pairs, qpairs
+
+
+def test_exhaustive_includes_nonmatching_docs(spark, tiny):
+    from invertedfiles_jl_spark.operators.exhaustive import exhaustive_cosine_topk
+
+    pairs, qpairs = tiny
+    res = exhaustive_cosine_topk(pairs, qpairs, k=4).collect()
+    got = [(r.rank, r.doc_id, round(r.dist, 6)) for r in res]
+    # q=(a) → doc1 dist 0, doc2 dist 0.4, docs 3 & 4 orthogonal at dist 1
+    assert got == [(1, 1, 0.0), (2, 2, 0.4), (3, 3, 1.0), (4, 4, 1.0)]
+
+
+def test_recallscore_and_macrorecall(spark):
+    from invertedfiles_jl_spark.operators.exhaustive import macrorecall, recallscore
+
+    gold = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, doc_id long"
+    )
+    res = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, doc_id long"
+    )
+    rs = {r.query_id: r.recall for r in recallscore(gold, res).collect()}
+    assert rs == {1: 0.5, 2: 1.0}
+    mr = macrorecall(gold, res).collect()[0].macrorecall
+    assert abs(mr - 0.75) < 1e-12
+
+
+def test_recall_zero_for_missing_query(spark):
+    from invertedfiles_jl_spark.operators.exhaustive import recallscore
+
+    gold = spark.createDataFrame([(1, 10), (2, 20)], "query_id long, doc_id long")
+    res = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    rs = {r.query_id: r.recall for r in recallscore(gold, res).collect()}
+    assert rs == {1: 1.0, 2: 0.0}
+
+
+def test_exhaustive_agrees_with_numpy(spark, tiny):
+    """Dense brute-force in numpy vs the distributed operator."""
+    from invertedfiles_jl_spark.operators.exhaustive import exhaustive_cosine_topk
+
+    rng = np.random.default_rng(0)
+    n_docs, n_terms = 40, 8
+    mat = rng.random((n_docs, n_terms))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    q = rng.random(n_terms)
+    q /= np.linalg.norm(q)
+
+    pairs = spark.createDataFrame(
+        [(d, str(t), float(mat[d, t])) for d in range(n_docs) for t in range(n_terms)],
+        "doc_id long, term string, weight double",
+    )
+    qpairs = spark.createDataFrame(
+        [(1, str(t), float(q[t])) for t in range(n_terms)],
+        "query_id long, term string, qw double",
+    )
+    res = exhaustive_cosine_topk(pairs, qpairs, k=5).collect()
+    got_ids = [r.doc_id for r in sorted(res, key=lambda r: r.rank)]
+    dists = 1.0 - mat @ q
+    want_ids = list(np.lexsort((np.arange(n_docs), dists))[:5])
+    assert got_ids == want_ids

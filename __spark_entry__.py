@@ -97,7 +97,8 @@ qt AS (
 """.replace("{queries}", queries_values_sql())
 
 
-def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, t: int = 1) -> str:
+    having = f"HAVING count(*) >= {t}" if t > 1 else ""
     return f"""
 WITH {_BASE_CTES},
 qterm AS (
@@ -113,7 +114,7 @@ scored AS (
   JOIN tf ON qterm.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
-  GROUP BY query_id, tf.doc_id
+  GROUP BY query_id, tf.doc_id {having}
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -200,6 +201,14 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir, "bm25")
     res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_bm25_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6, t=2)
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
@@ -507,6 +516,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25,
+        "bm25_tthreshold2": _q_bm25_t2,
         "cosine_topk": _q_cosine,
         "jaccard_topk": _q_set("jaccard"),
         "dice_topk": _q_set("dice"),
@@ -545,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_tthreshold2": _bm25_sql(t=2),
         "cosine_topk": _cosine_sql(),
         "jaccard_topk": _set_dist_sql("jaccard"),
         "dice_topk": _set_dist_sql("dice"),

@@ -90,12 +90,22 @@ def topk(scored: DataFrame, k: int, score_col: str = "score",
     )
 
 
+def _tfilter(scored: DataFrame, t: int) -> DataFrame:
+    """xmerge t-threshold for weighted search: docs matched by < t query
+    terms are dropped (/root/reference/src/winvfilesearch.jl:30 passes ``t``
+    through to the merge for weighted indexes too)."""
+    if t > 1:
+        scored = scored.filter(F.col("n_matched") >= t)
+    return scored.drop("n_matched")
+
+
 def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
-              rank_round: int | None = None) -> DataFrame:
+              rank_round: int | None = None, t: int = 1) -> DataFrame:
     """BM25 top-k.  Stored weight is the saturated length-normalized tf
     (build-time fold); idf joins in from vocab at query time.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ qtf · idf · sat_tf.
+    ``t`` — xmerge t-threshold (docs in < t query-term lists dropped).
     """
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
     n = float(index.stats["n_docs"])
@@ -108,17 +118,18 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     )
     m = _matched(index, qt)
     scored = m.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score")
+        F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
     )
-    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+    return topk(_tfilter(scored, t), k, "score", ascending=False, rank_round=rank_round)
 
 
 def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
-                rank_round: int | None = None) -> DataFrame:
+                rank_round: int | None = None, t: int = 1) -> DataFrame:
     """Normalized-cosine *distance* top-k — WeightedInvertedFile parity
     (distance fixed to NormCosine, /root/reference/src/winvfile.jl:30;
     dist = 1 − Σ q·w, /root/reference/src/winvfilesearch.jl:8-16).
-    Ascending distance, doc_id tie-break."""
+    Ascending distance, doc_id tie-break; ``t`` as in :func:`bm25_topk`."""
     assert index.cfg.weighting == "normcosine", "index not built with normcosine weighting"
     qt = query_terms(queries, index.cfg)
     qnorm = qt.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qtf") * F.col("qtf"))).alias("qn"))
@@ -127,9 +138,10 @@ def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     ).withColumnRenamed("qw", "qtf")
     m = _matched(index, qt)
     scored = m.groupBy("query_id", "doc_id").agg(
-        (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist")
+        (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist"),
+        F.count(F.lit(1)).alias("n_matched"),
     )
-    return topk(scored, k, "dist", ascending=True, rank_round=rank_round)
+    return topk(_tfilter(scored, t), k, "dist", ascending=True, rank_round=rank_round)
 
 
 SET_DISTANCES = ("jaccard", "dice", "cosine_set", "intersection")

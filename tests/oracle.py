@@ -21,23 +21,23 @@ def build_corpus_stats(texts: dict[int, str]):
     return tfs, df, n, avgdl
 
 
-def bm25_scores(texts: dict[int, str], query: str, k1=1.2, b=0.75):
+def bm25_scores(texts: dict[int, str], query: str, k1=1.2, b=0.75, t: int = 1):
     tfs, df, n, avgdl = build_corpus_stats(texts)
     q = Counter(tokenize_ws(query))
     scores: dict[int, float] = {}
     for doc, c in tfs.items():
         dl = sum(c.values())
         s = 0.0
-        hit = False
+        hits = 0
         for term, qtf in q.items():
             tf = c.get(term, 0)
             if tf == 0 or term not in df:
                 continue
-            hit = True
+            hits += 1
             idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
             sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             s += qtf * idf * sat
-        if hit:
+        if hits >= max(t, 1):
             scores[doc] = s
     return scores
 

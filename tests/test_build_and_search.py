@@ -106,6 +106,16 @@ def test_t_threshold(corpus, texts, spark):
         assert [d for _, d, _ in got.get(qid, [])] == [d for d, _ in gold], f"q{qid}"
 
 
+def test_t_threshold_weighted(corpus, texts, spark):
+    """t applies to weighted search too (xmerge!(…; t) is passed through for
+    WeightedInvertedFile, /root/reference/src/winvfilesearch.jl:30)."""
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    got = _collect_topk(bm25_topk(idx, queries_df(spark), k=10, t=2))
+    for qid, qtext in QUERY_SET:
+        gold = oracle.topk_of(oracle.bm25_scores(texts, qtext, t=2), 10, ascending=False)
+        assert [d for _, d, _ in got.get(qid, [])] == [d for d, _ in gold], f"q{qid}"
+
+
 def test_salting_preserves_results(corpus, texts, spark):
     """Hot-term salting must not change any result: bucketed sub-lists are
     doc-range-disjoint, so concatenation order restores the sorted list."""

@@ -270,6 +270,18 @@ def _q_wand_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
+def _q_sharded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-sharded batch scorer (operators.sharded) — rank-identical to
+    bm25_topk, so it shares the bm25 oracle."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.sharded import sharded_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = sharded_topk(idx, queries_df(spark), k=10, n_shards=8, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.operators.dedup import exact_duplicates
 
@@ -528,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_flat": _q_postings_flat,
         "corpus_commits": _q_corpus_commits,
         "wand_bm25_topk": _q_wand_bm25,
+        "sharded_bm25_topk": _q_sharded_bm25,
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
         "ngram_set_dups": _q_ngram_dups,
@@ -573,6 +586,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
 """,
         "postings_flat": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
         "wand_bm25_topk": _bm25_sql(),
+        "sharded_bm25_topk": _bm25_sql(),
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),

@@ -88,6 +88,14 @@ def build_checkpointed(
     spark = corpus.sparkSession
     os.makedirs(path, exist_ok=True)
     chash = config_hash(cfg)
+    # The build evaluates `corpus` up to 4× (input count, tokenize, sha256,
+    # stats).  For a plain table scan that is 4 cheap re-scans, but for a
+    # derived/expensive input plan it multiplies the whole lineage — persist
+    # for the duration of the build (spills to disk if it doesn't fit; a
+    # real-cluster build over an Iceberg table pays at most one extra scan).
+    from pyspark import StorageLevel
+
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     n_input = corpus.count()
     lineage = {"config_hash": chash, "input_rows": n_input}
 
@@ -122,6 +130,7 @@ def build_checkpointed(
         json.dump({"config": asdict(cfg), "config_hash": chash, "stats": stats},
                   f, indent=1, sort_keys=True, default=str)
 
+    corpus.unpersist()
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
 
 

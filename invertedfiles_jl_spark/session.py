@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE coalescing writes compact tables as few large files; with the
+        # default 128 MB split size a later scan of a ~300 MB postings table
+        # starts at 2-3 partitions and the whole map side serializes.  32 MB
+        # splits keep small/mid tables parallel; at real scale AQE still
+        # coalesces tiny tasks away, so the only cost is scheduler overhead.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,75 @@
+"""Doc-sharded batch scorer — rank-identity vs Plan A (the reference-parity
+relational scorer), across shard counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import build_index
+from invertedfiles_jl_spark.operators.search import bm25_topk, cosine_topk
+from invertedfiles_jl_spark.operators.sharded import shard_postings, sharded_topk
+from invertedfiles_jl_spark.sources.queries import queries_df
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    from pyspark.sql import functions as F
+
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+def _ranked(df, score_col="score"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append((r.rank, r.doc_id, r[score_col]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 32])
+def test_sharded_bm25_rank_identical(spark, corpus, n_shards):
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    want = _ranked(bm25_topk(idx, queries_df(spark), k=10, rank_round=6))
+    got = _ranked(sharded_topk(idx, queries_df(spark), k=10,
+                               n_shards=n_shards, rank_round=6))
+    assert set(got) == set(want)
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+        for (_, _, a), (_, _, b) in zip(got[q], want[q]):
+            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_sharded_reuses_precomputed_layout(spark, corpus):
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    sharded = shard_postings(idx, 8).cache()
+    try:
+        want = _ranked(bm25_topk(idx, queries_df(spark), k=10, rank_round=6))
+        got = _ranked(sharded_topk(idx, queries_df(spark), k=10,
+                                   rank_round=6, sharded=sharded))
+        assert got.keys() == want.keys()
+        for q in want:
+            assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]]
+    finally:
+        sharded.unpersist()
+
+
+def test_sharded_cosine_matches_plan_a(spark, corpus):
+    """normcosine mode returns the dot product descending ≡ distance
+    ascending — same ranking as cosine_topk."""
+    idx = build_index(corpus, IndexConfig(weighting="normcosine"))
+    want = _ranked(cosine_topk(idx, queries_df(spark), k=10, rank_round=6), "dist")
+    got = _ranked(sharded_topk(idx, queries_df(spark), k=10, rank_round=6))
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+        for (_, _, s), (_, _, dist) in zip(got[q], want[q]):
+            assert abs((1.0 - s) - dist) < 1e-6
+
+
+def test_sharded_oov_query_empty(spark, corpus):
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    qdf = spark.createDataFrame([(1, "zzzunknown qqqmissing")],
+                                "query_id long, content string")
+    assert sharded_topk(idx, qdf, k=10).count() == 0

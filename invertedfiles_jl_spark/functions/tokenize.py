@@ -68,12 +68,17 @@ _CODE_RE = re.compile(IndexConfig.CODE_TOKEN_RE)
 
 def code_tokens_udf():
     """Arrow-batched code tokenizer (built lazily — pandas_udf needs an
-    active SparkSession to parse its return type)."""
+    active SparkSession to parse its return type).
+
+    This module uses ``from __future__ import annotations``, which turns
+    inline hints into strings pandas_udf cannot resolve — so the real type
+    objects are attached via ``__annotations__`` instead.
+    """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<string>")
-    def _tok(content: pd.Series) -> pd.Series:
+    def _tok(content):
         return content.fillna("").map(lambda s: _CODE_RE.findall(s.lower()))
 
-    return _tok
+    _tok.__annotations__ = {"content": pd.Series, "return": pd.Series}
+    return pandas_udf(_tok, "array<string>")

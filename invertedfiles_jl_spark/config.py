@@ -62,6 +62,11 @@ class IndexConfig:
     salt_df_threshold: int = 10_000
     salt_buckets: int = 16
     compress: bool = False
+    # Posting lists carry per-block max weights (block-max WAND metadata):
+    # block b covers entries [b·block_size, (b+1)·block_size) of the
+    # doc-sorted list; the MaxScore kernel skips whole blocks whose upper
+    # bound cannot reach the current top-k threshold.
+    block_size: int = 128
     shuffle_partitions: int | None = None
     extra: dict = field(default_factory=dict)
 

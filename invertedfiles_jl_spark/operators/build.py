@@ -162,21 +162,18 @@ def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig
     return weighted.filter(F.col("weight") >= F.lit(float(cfg.tol)))
 
 
-def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
-                   cfg: IndexConfig) -> DataFrame:
-    """Salted group-agg into doc-sorted posting lists.
+def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
+                 cfg: IndexConfig) -> DataFrame:
+    """Attach the hot-term salt column to flat (term, doc_id, weight) rows.
 
     Hot-term salting is doc-RANGE-disjoint (not hash): bucket =
     ⌊doc_id·S/(max+1)⌋, so per-bucket sorted sub-lists concatenate in bucket
     order into one globally doc-sorted list — the invariant delta-gap
     encoding and the k-way merge both need.
     """
-    hot = vocab.filter(F.col("df") > cfg.salt_df_threshold).select(
-        "term", F.lit(True).alias("is_hot")
-    )
-    max_doc = max(stats["n_docs"], 1)
-    salted = (
-        weighted.join(F.broadcast(hot), "term", "left")
+    return (
+        weighted.join(F.broadcast(hot_terms.select("term", F.lit(True).alias("is_hot"))),
+                      "term", "left")
         .withColumn(
             "salt",
             F.when(
@@ -189,6 +186,13 @@ def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
         )
         .drop("is_hot")
     )
+
+
+def grouped_postings(salted: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(term, salt, doc_id, weight) rows → doc-sorted posting-list rows with
+    list-max and block-max metadata (Ding & Suel BMW 2011 skip data), plus
+    delta-gap varbyte compression when configured."""
+    bs = int(cfg.block_size)
     postings = (
         salted.groupBy("term", "salt")
         .agg(
@@ -203,6 +207,12 @@ def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
             F.col("plist.doc_id").alias("doc_ids"),
             F.col("plist.weight").alias("weights"),
             F.array_max(F.col("plist.weight")).alias("max_weight"),
+            # block-max metadata: max weight of each block_size-entry block
+            # of the doc-sorted list
+            F.expr(
+                f"transform(sequence(0, int((size(plist) - 1) / {bs})), "
+                f"b -> array_max(slice(plist.weight, b * {bs} + 1, {bs})))"
+            ).alias("block_max"),
         )
     )
     if cfg.compress:
@@ -210,6 +220,15 @@ def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
 
         postings = compress_postings(postings)
     return postings
+
+
+def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
+                   cfg: IndexConfig) -> DataFrame:
+    """Salted group-agg into doc-sorted posting lists."""
+    hot = vocab.filter(F.col("df") > cfg.salt_df_threshold)
+    return grouped_postings(
+        salted_pairs(weighted, hot, max(stats["n_docs"], 1), cfg), cfg
+    )
 
 
 def build_index(

@@ -51,9 +51,9 @@ def search_cost(index: InvertedIndex, queries: DataFrame) -> DataFrame:
     """(query_id, n_lists, n_entries) — how many posting lists a query
     touches and how many posting entries a full (unpruned) evaluation
     scans: Σ df over matched terms."""
-    qt = query_terms(queries, index.cfg).select("query_id", "term").distinct()
-    m = index.postings.join(F.broadcast(qt), "term")
+    qt = query_terms(queries, index.cfg).select("query_id", "term_id").distinct()
+    m = index.postings.join(F.broadcast(qt), "term_id")
     return m.groupBy("query_id").agg(
-        F.countDistinct("term").alias("n_lists"),
+        F.countDistinct("term_id").alias("n_lists"),
         F.sum("df_part").alias("n_entries"),
     )

@@ -27,18 +27,24 @@ from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.config import IndexConfig
 from invertedfiles_jl_spark.functions.tokenize import tokens_sql
-from invertedfiles_jl_spark.operators.build import InvertedIndex
+from invertedfiles_jl_spark.operators.build import InvertedIndex, term_id_col
 
 
 def query_terms(queries: DataFrame, cfg: IndexConfig,
                 query_col: str = "query_id", content_col: str = "content") -> DataFrame:
-    """(query_id, term, qtf) with tol pruning like the reference's search
-    accept predicate (/root/reference/src/invfilesearch.jl:36-38)."""
+    """(query_id, term, term_id, qtf) with tol pruning like the reference's
+    search accept predicate (/root/reference/src/invfilesearch.jl:36-38).
+
+    ``term_id`` (xxhash64, same derivation as the build side) is the join
+    key for every downstream probe: at 10^9-term scale a fixed-width long
+    key beats the string on shuffle width and hash cost; the string ``term``
+    column stays only for human-facing outputs.
+    """
     qt = queries.select(
         F.col(query_col).alias("query_id"),
         F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),
     ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
-    return qt
+    return qt.withColumn("term_id", term_id_col(F.col("term")))
 
 
 def postings_exploded(index: InvertedIndex) -> DataFrame:
@@ -50,22 +56,23 @@ def postings_exploded(index: InvertedIndex) -> DataFrame:
 
 
 def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
-    """Broadcast-join query terms against postings and explode only the
-    matched lists: (query_id, <all qterm cols>, doc_id, weight)."""
-    qcols = [c for c in qterms.columns if c != "term"]
-    postings = index.postings
-    if "ids_vb" in postings.columns:  # compressed index → decode matched lists
+    """Broadcast-join query terms against postings on the long ``term_id``
+    and explode only the matched lists: (query_id, <qterm cols>, doc_id,
+    weight).  The postings scan prunes to (term_id, doc_ids, weights) —
+    fixed-width join key, no string column off disk."""
+    qcols = [c for c in qterms.columns if c not in ("term", "term_id")]
+    id_col = "ids_vb" if "ids_vb" in index.postings.columns else "doc_ids"
+    postings = index.postings.select("term_id", id_col, "weights")
+    joined = postings.join(F.broadcast(qterms.select("term_id", *qcols)), "term_id")
+    if id_col == "ids_vb":  # compressed index → decode matched lists only
         from invertedfiles_jl_spark.operators.codec import decompress_postings
 
-        postings = decompress_postings(postings.join(F.broadcast(qterms), "term"))
-        joined = postings
-    else:
-        joined = postings.join(F.broadcast(qterms), "term")
+        joined = decompress_postings(joined)
     return joined.select(
-        "term", *qcols,
+        *qcols,
         F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
     ).select(
-        "term", *qcols,
+        *qcols,
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
@@ -110,10 +117,11 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
     n = float(index.stats["n_docs"])
     qt = query_terms(queries, index.cfg)
-    # vocab ⋈ broadcast(qterms): attaches df for idf; inner join drops
-    # out-of-vocabulary terms (empty Q ⇒ empty result, src/invfilesearch.jl:44).
-    qt = index.vocab.join(F.broadcast(qt), "term").select(
-        "query_id", "term", "qtf",
+    # vocab ⋈ broadcast(qterms) on term_id: attaches df for idf; inner join
+    # drops out-of-vocabulary terms (empty Q ⇒ empty result,
+    # src/invfilesearch.jl:44).
+    qt = index.vocab.select("term_id", "df").join(F.broadcast(qt), "term_id").select(
+        "query_id", "term_id", "qtf",
         F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
     m = _matched(index, qt)
@@ -134,7 +142,7 @@ def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     qt = query_terms(queries, index.cfg)
     qnorm = qt.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qtf") * F.col("qtf"))).alias("qn"))
     qt = qt.join(qnorm, "query_id").select(
-        "query_id", "term", (F.col("qtf") / F.col("qn")).alias("qw"),
+        "query_id", "term_id", (F.col("qtf") / F.col("qn")).alias("qw"),
     ).withColumnRenamed("qw", "qtf")
     m = _matched(index, qt)
     scored = m.groupBy("query_id", "doc_id").agg(
@@ -170,7 +178,7 @@ def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     t-threshold — docs present in < t query-term lists are dropped
     (/root/reference/src/binvfilesearch.jl:25)."""
     assert index.cfg.weighting == "binary", "index not built with binary weighting"
-    qt = query_terms(queries, index.cfg).select("query_id", "term")  # distinct terms
+    qt = query_terms(queries, index.cfg).select("query_id", "term_id")  # distinct terms
     qsize = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qsize"))
     m = _matched(index, qt.withColumn("qtf", F.lit(1)))
     inter = m.groupBy("query_id", "doc_id").agg(F.count(F.lit(1)).alias("isize"))

@@ -1,17 +1,27 @@
 """Checkpoint-resumable staged build — the north rule's persistence layer.
 
 Each build stage writes one table plus a ``_lineage.json`` manifest (config
-hash, input fingerprint, row count, upstream stage hashes).  ``resume=True``
-skips any stage whose manifest matches — a build killed between stages picks
-up exactly where it stopped and produces byte-identical outputs (pytest
-gate).  The reference has no persistence (saveindex/loadindex tests are
-commented out, /root/reference/test/invfiles.jl:100-111); this is the
-capability the north rule adds.
+hash, input fingerprint, upstream stage hashes).  ``resume=True`` skips any
+stage whose manifest matches — a build killed between stages picks up
+exactly where it stopped and produces byte-identical outputs (pytest gate).
+The reference has no persistence (saveindex/loadindex tests are commented
+out, /root/reference/test/invfiles.jl:100-111); this is the capability the
+north rule adds.
 
-Writer is catalog-pluggable: Iceberg ``writeTo(...)`` when a catalog is
-configured (``spark.sql.catalog.*`` + iceberg jar), plain parquet directories
-otherwise — this sandbox has no Iceberg jar, so parquet is the active path;
-the table layout (one dir per stage) mirrors an Iceberg table per stage.
+Scaling design (the north rule gates on build wall-time scaling efficiency):
+the build runs exactly THREE full-input jobs — one cheap columnless count of
+the corpus (the lineage fingerprint), one tokenize→tf shuffle write, one
+sha256 scan folded into the docs stage — plus three small jobs over the
+persisted tf/docs tables.  No caching, no per-stage re-count re-reads: every
+fixed cost that does not shrink with more executors has been removed, which
+is what makes the wall time track cluster size.
+
+Writer is catalog-pluggable: pass ``catalog="mycat.db"`` (or set
+``spark.sql.catalog.<name>`` with the Iceberg jar on the classpath) and each
+stage is written with ``df.writeTo(f"{catalog}.{stage}").createOrReplace()``
+— an Iceberg table per stage with snapshot lineage.  Without a catalog
+(this sandbox ships no Iceberg jar) stages are parquet directories with the
+same one-table-per-stage layout.
 """
 
 from __future__ import annotations
@@ -26,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from invertedfiles_jl_spark.config import IndexConfig
 from invertedfiles_jl_spark.operators.build import (
     InvertedIndex,
-    compute_stats,
     doc_term_freqs,
     docs_table,
     postings_table,
@@ -43,7 +52,7 @@ def config_hash(cfg: IndexConfig) -> str:
 
 
 def _manifest_path(root: str, stage: str) -> str:
-    return os.path.join(root, stage, "_lineage.json")
+    return os.path.join(root, f"{stage}_lineage.json")
 
 
 def _stage_done(root: str, stage: str, expect: dict) -> bool:
@@ -58,16 +67,39 @@ def _stage_done(root: str, stage: str, expect: dict) -> bool:
     return all(m.get(k) == v for k, v in expect.items()) and m.get("complete") is True
 
 
-def _write_stage(df: DataFrame, root: str, stage: str, lineage: dict) -> int:
-    """Write parquet then the manifest — the manifest is the commit marker,
-    so a kill mid-write leaves an incomplete stage that resume re-runs."""
-    path = os.path.join(root, stage)
-    df.write.mode("overwrite").parquet(path)
-    rows = df.sparkSession.read.parquet(path).count()
-    manifest = dict(lineage, stage=stage, rows=rows, complete=True)
-    with open(_manifest_path(root, stage), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    return rows
+def catalog_configured(spark: SparkSession, catalog: str | None) -> bool:
+    """True iff ``catalog`` names a configured Spark catalog (e.g. an
+    Iceberg ``spark.sql.catalog.<name>`` entry)."""
+    if not catalog:
+        return False
+    name = catalog.split(".", 1)[0]
+    return spark.conf.get(f"spark.sql.catalog.{name}", None) is not None
+
+
+class _StageIO:
+    """Stage reader/writer — Iceberg ``writeTo`` when a catalog is
+    configured, parquet directories otherwise.  The manifest file is the
+    commit marker either way: a kill mid-write leaves an incomplete stage
+    that resume re-runs."""
+
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog if catalog_configured(spark, catalog) else None
+
+    def write(self, df: DataFrame, stage: str, lineage: dict) -> None:
+        if self.catalog:
+            df.writeTo(f"{self.catalog}.{stage}").createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(self.root, stage))
+        manifest = dict(lineage, stage=stage, complete=True)
+        with open(_manifest_path(self.root, stage), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+    def read(self, stage: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{stage}")
+        return self.spark.read.parquet(os.path.join(self.root, stage))
 
 
 def build_checkpointed(
@@ -77,73 +109,84 @@ def build_checkpointed(
     resume: bool = True,
     doc_col: str = "doc_id",
     content_col: str = "content",
+    catalog: str | None = None,
 ) -> InvertedIndex:
     """Staged build with per-stage checkpoints under ``path``.
 
     Downstream stages read the PERSISTED upstream table (not the lazy plan),
     so (a) each stage's work runs exactly once, and (b) a resumed build sees
-    identical inputs to an uninterrupted one.
+    identical inputs to an uninterrupted one.  ``corpus`` is scanned twice
+    (tokenize, sha256) plus one columnless count — it is NOT cached: for a
+    table scan input a re-scan is cheaper than a 100 TB persist, and callers
+    with an expensive derived input should checkpoint it themselves.
     """
     cfg = cfg or IndexConfig()
     spark = corpus.sparkSession
     os.makedirs(path, exist_ok=True)
+    io = _StageIO(spark, path, catalog)
     chash = config_hash(cfg)
-    # The build evaluates `corpus` up to 4× (input count, tokenize, sha256,
-    # stats).  For a plain table scan that is 4 cheap re-scans, but for a
-    # derived/expensive input plan it multiplies the whole lineage — persist
-    # for the duration of the build (spills to disk if it doesn't fit; a
-    # real-cluster build over an Iceberg table pays at most one extra scan).
-    from pyspark import StorageLevel
-
-    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    # Lineage fingerprint: a columnless count (parquet answers this from
+    # row-group metadata — no data read).
     n_input = corpus.count()
     lineage = {"config_hash": chash, "input_rows": n_input}
 
-    # stage 1: term frequencies
+    # stage 1: term frequencies (the only full tokenize scan + tf shuffle)
     if not (resume and _stage_done(path, "termfreqs", lineage)):
-        _write_stage(doc_term_freqs(corpus, cfg, doc_col, content_col),
-                     path, "termfreqs", lineage)
-    tf = spark.read.parquet(os.path.join(path, "termfreqs"))
+        io.write(doc_term_freqs(corpus, cfg, doc_col, content_col), "termfreqs", lineage)
+    tf = io.read("termfreqs")
 
-    # stage 2: per-doc stats
+    # stage 2: per-doc stats (tf agg ⟕ one sha256 scan of the corpus)
     if not (resume and _stage_done(path, "docs", lineage)):
-        _write_stage(docs_table(tf, corpus, doc_col, content_col), path, "docs", lineage)
-    docs = spark.read.parquet(os.path.join(path, "docs"))
+        io.write(docs_table(tf, corpus, doc_col, content_col), "docs", lineage)
+    docs = io.read("docs")
 
-    # stage 3: vocabulary
+    # stage 3: vocabulary (tf re-agg by term — reads the persisted tf)
     if not (resume and _stage_done(path, "vocab", lineage)):
-        _write_stage(vocab_table(tf), path, "vocab", lineage)
-    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+        io.write(vocab_table(tf), "vocab", lineage)
+    vocab = io.read("vocab")
 
-    # scalar stats (cheap, recomputed from persisted docs)
-    stats = compute_stats(corpus, docs)
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump(dict(stats, config_hash=chash), f, indent=1, sort_keys=True)
+    # scalar stats: one small job over the persisted docs table
+    stats_path = os.path.join(path, "stats.json")
+    stats = None
+    if resume and os.path.exists(stats_path):
+        with open(stats_path) as f:
+            saved = json.load(f)
+        if all(saved.get(k) == v for k, v in lineage.items()):
+            stats = {"n_docs": saved["n_docs"], "avg_doc_len": saved["avg_doc_len"]}
+    if stats is None:
+        from pyspark.sql import functions as F
 
-    # stage 4: postings
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        stats = {"n_docs": int(row["n"]), "avg_doc_len": float(row["avgdl"] or 0.0)}
+        with open(stats_path, "w") as f:
+            json.dump(dict(stats, **lineage), f, indent=1, sort_keys=True)
+
+    # stage 4: postings (tf ⋈ docs weights → salted group-agg)
     if not (resume and _stage_done(path, "postings", lineage)):
         weighted = weighted_pairs(tf, docs, stats, cfg)
-        _write_stage(postings_table(weighted, vocab, stats, cfg), path, "postings", lineage)
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+        io.write(postings_table(weighted, vocab, stats, cfg), "postings", lineage)
+    postings = io.read("postings")
 
     with open(os.path.join(path, "index.json"), "w") as f:
         json.dump({"config": asdict(cfg), "config_hash": chash, "stats": stats},
                   f, indent=1, sort_keys=True, default=str)
 
-    corpus.unpersist()
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
 
 
-def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+def load_index(spark: SparkSession, path: str, catalog: str | None = None) -> InvertedIndex:
     """Open a persisted index — queries run against the persisted tables
-    (parquet scans with pushdown), never against rebuild lineage."""
+    (parquet/Iceberg scans with pushdown), never against rebuild lineage."""
     with open(os.path.join(path, "index.json")) as f:
         meta = json.load(f)
     cfg = IndexConfig(**{k: v for k, v in meta["config"].items() if k != "extra"})
+    io = _StageIO(spark, path, catalog)
     return InvertedIndex(
-        docs=spark.read.parquet(os.path.join(path, "docs")),
-        vocab=spark.read.parquet(os.path.join(path, "vocab")),
-        postings=spark.read.parquet(os.path.join(path, "postings")),
+        docs=io.read("docs"),
+        vocab=io.read("vocab"),
+        postings=io.read("postings"),
         stats=meta["stats"],
         cfg=cfg,
     )

@@ -28,41 +28,43 @@ from invertedfiles_jl_spark.operators.build import (
 def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
     """Merge two indexes over disjoint doc_id sets (caller guarantees
     disjointness, like the reference's explicit objID contract,
-    /root/reference/src/invfile.jl:136)."""
+    /root/reference/src/invfile.jl:136).
+
+    Touched terms are RE-salted against the MERGED doc range and hot set —
+    old salts were computed against the old max_doc, so reusing them would
+    break the doc-range-disjoint sub-list invariant that delta-gap encoding
+    and bucket-order concatenation rely on.  Untouched rows keep their old
+    salts (their sub-lists are unchanged, hence still range-disjoint).
+    Block-max metadata is recomputed for remerged lists by
+    ``grouped_postings``.
+    """
     cfg = old.cfg
     assert cfg.weighting == delta.cfg.weighting
+
+    from invertedfiles_jl_spark.operators.build import (
+        grouped_postings,
+        salted_pairs,
+        term_id_col,
+    )
 
     touched = delta.postings.select("term").distinct()
 
     untouched = old.postings.join(F.broadcast(touched), "term", "left_anti")
     to_merge = old.postings.join(F.broadcast(touched), "term", "semi").unionByName(
-        delta.postings
+        delta.postings, allowMissingColumns=True
     )
+    if "ids_vb" in to_merge.columns:
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        to_merge = decompress_postings(to_merge)
     exploded = to_merge.select(
-        "term", "salt",
+        "term",
         F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
     ).select(
-        "term", "salt",
+        "term",
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
-    from invertedfiles_jl_spark.operators.build import term_id_col
-
-    remerged = (
-        exploded.groupBy("term", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("df_part"),
-            F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias("plist"),
-        )
-        .select(
-            term_id_col(F.col("term")).alias("term_id"),
-            "term", "salt", "df_part",
-            F.col("plist.doc_id").alias("doc_ids"),
-            F.col("plist.weight").alias("weights"),
-            F.array_max(F.col("plist.weight")).alias("max_weight"),
-        )
-    )
-    postings = untouched.unionByName(remerged)
 
     docs = old.docs.unionByName(delta.docs)
     vocab = (
@@ -72,6 +74,11 @@ def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
         .withColumn("term_id", term_id_col(F.col("term").cast("string")))
     )
     n = old.stats["n_docs"] + delta.stats["n_docs"]
+
+    hot = vocab.filter(F.col("df") > cfg.salt_df_threshold)
+    remerged = grouped_postings(salted_pairs(exploded, hot, max(n, 1), cfg), cfg)
+    postings = untouched.unionByName(remerged, allowMissingColumns=True)
+
     old_len = (old.stats["avg_doc_len"] or 0.0) * old.stats["n_docs"]
     new_len = (delta.stats["avg_doc_len"] or 0.0) * delta.stats["n_docs"]
     stats = {"n_docs": n, "avg_doc_len": (old_len + new_len) / max(n, 1)}

@@ -30,7 +30,7 @@ def test_build_load_query(corpus, spark, tmp_path):
     p = str(tmp_path / "idx")
     idx = build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
     for stage in ("termfreqs", "docs", "vocab", "postings"):
-        assert os.path.exists(os.path.join(p, stage, "_lineage.json")), stage
+        assert os.path.exists(os.path.join(p, f"{stage}_lineage.json")), stage
     loaded = load_index(spark, p)
     assert loaded.stats["n_docs"] == idx.stats["n_docs"]
     a = {(r["query_id"], r["rank"]): r["doc_id"]
@@ -43,11 +43,11 @@ def test_build_load_query(corpus, spark, tmp_path):
 def test_resume_skips_completed_stages(corpus, spark, tmp_path):
     p = str(tmp_path / "idx")
     build_checkpointed(corpus, p, IndexConfig())
-    mtimes = {s: os.path.getmtime(os.path.join(p, s, "_lineage.json"))
+    mtimes = {s: os.path.getmtime(os.path.join(p, f"{s}_lineage.json"))
               for s in ("termfreqs", "docs", "vocab", "postings")}
     build_checkpointed(corpus, p, IndexConfig(), resume=True)
     for s, t in mtimes.items():
-        assert os.path.getmtime(os.path.join(p, s, "_lineage.json")) == t, f"{s} re-ran"
+        assert os.path.getmtime(os.path.join(p, f"{s}_lineage.json")) == t, f"{s} re-ran"
 
 
 def test_resume_after_interrupt_is_identical(corpus, spark, tmp_path):
@@ -57,7 +57,7 @@ def test_resume_after_interrupt_is_identical(corpus, spark, tmp_path):
     # simulate a kill between vocab and postings: copy first three stages,
     # leave postings absent, then resume
     build_checkpointed(corpus, pb, cfg)
-    os.remove(os.path.join(pb, "postings", "_lineage.json"))  # incomplete stage
+    os.remove(os.path.join(pb, "postings_lineage.json"))  # incomplete stage
     resumed = build_checkpointed(corpus, pb, cfg, resume=True)
     assert _postings_content(resumed) == _postings_content(full)
 
@@ -65,8 +65,8 @@ def test_resume_after_interrupt_is_identical(corpus, spark, tmp_path):
 def test_config_change_invalidates(corpus, spark, tmp_path):
     p = str(tmp_path / "idx")
     build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
-    t0 = os.path.getmtime(os.path.join(p, "postings", "_lineage.json"))
+    t0 = os.path.getmtime(os.path.join(p, "postings_lineage.json"))
     build_checkpointed(corpus, p, IndexConfig(weighting="normcosine"), resume=True)
-    assert os.path.getmtime(os.path.join(p, "postings", "_lineage.json")) > t0
+    assert os.path.getmtime(os.path.join(p, "postings_lineage.json")) > t0
     with open(os.path.join(p, "index.json")) as f:
         assert json.load(f)["config"]["weighting"] == "normcosine"

@@ -73,3 +73,31 @@ def test_sharded_oov_query_empty(spark, corpus):
     qdf = spark.createDataFrame([(1, "zzzunknown qqqmissing")],
                                 "query_id long, content string")
     assert sharded_topk(idx, qdf, k=10).count() == 0
+
+
+def test_sharded_from_written_layout(spark, corpus, tmp_path):
+    """Serving mode: shards written to parquet and RE-READ — file splits may
+    scatter a shard across input partitions; groupBy(shard) in sharded_topk
+    must restore co-location (rank-identity gate)."""
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    p = str(tmp_path / "shards")
+    shard_postings(idx, 8).write.mode("overwrite").parquet(p)
+    sharded = spark.read.parquet(p).repartition(16)  # deliberately scatter
+    want = _ranked(bm25_topk(idx, queries_df(spark), k=10, rank_round=6))
+    got = _ranked(sharded_topk(idx, queries_df(spark), k=10,
+                               rank_round=6, sharded=sharded))
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+
+
+def test_sharded_compressed_index(spark, corpus):
+    """shard_postings must decode ids_vb postings (compressed index)."""
+    idx = build_index(corpus, IndexConfig(weighting="bm25", compress=True))
+    assert "ids_vb" in idx.postings.columns
+    want = _ranked(bm25_topk(idx, queries_df(spark), k=10, rank_round=6))
+    got = _ranked(sharded_topk(idx, queries_df(spark), k=10, n_shards=4,
+                               rank_round=6))
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"

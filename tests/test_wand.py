@@ -75,3 +75,63 @@ def test_wand_pruning_engages(corpus, spark):
     assert a == b or all(
         [d for _, d, _ in a[q]] == [d for _, d, _ in b[q]] for q in a
     )
+
+
+def _mk_group_pdf(with_blocks: bool, block_size: int = 8):
+    """One query, three posting lists over 200 docs: a short high-weight
+    list (drives theta up fast) and two long lists whose later blocks are
+    low-weight — exactly the shape block-max skipping exists for."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    short_ids = np.arange(0, 10, dtype=np.int64)
+    short_w = np.full(10, 5.0)
+    rows.append((short_ids, short_w, 3.0))
+    long_ids = np.arange(0, 200, dtype=np.int64)
+    # first block high, the rest tiny: the tail blocks are skippable
+    long_w = np.where(long_ids < block_size, 2.0, 0.01)
+    rows.append((long_ids, long_w, 1.0))
+    rows.append((long_ids + 1, long_w * 0.5, 1.0))
+    data = {
+        "query_id": [1] * 3,
+        "qw": [r[2] for r in rows],
+        "doc_ids": [r[0] for r in rows],
+        "weights": [r[1] for r in rows],
+        "max_weight": [float(r[1].max()) for r in rows],
+    }
+    if with_blocks:
+        data["block_max"] = [
+            [float(r[1][b * block_size:(b + 1) * block_size].max())
+             for b in range((len(r[1]) + block_size - 1) // block_size)]
+            for r in rows
+        ]
+    return pd.DataFrame(data)
+
+
+def test_blockmax_prunes_more_and_stays_rank_identical():
+    from invertedfiles_jl_spark.operators.wand import _maxscore_group
+
+    bs = 8
+    out_nb, st_nb = _maxscore_group(_mk_group_pdf(False), k=3, rank_round=6,
+                                    block_size=bs, return_stats=True)
+    out_bm, st_bm = _maxscore_group(_mk_group_pdf(True), k=3, rank_round=6,
+                                    block_size=bs, return_stats=True)
+    assert out_nb.values.tolist() == out_bm.values.tolist()
+    # same entries end up pruned, but with block_max whole blocks are skipped
+    # without per-entry work
+    assert st_nb["block_skipped"] == 0
+    assert st_bm["block_skipped"] > 0, st_bm
+    assert st_bm["pruned"] >= st_nb["pruned"]
+    # exactness vs brute force
+    import numpy as np
+
+    pdf = _mk_group_pdf(False)
+    scores: dict = {}
+    for qw, ids, ws in zip(pdf["qw"], pdf["doc_ids"], pdf["weights"]):
+        for d, w in zip(ids, ws):
+            scores[int(d)] = scores.get(int(d), 0.0) + qw * float(w)
+    gold = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+    assert [int(d) for d in out_bm["doc_id"]] == [d for d, _ in gold]
+    for s, (_, gs) in zip(out_bm["score"], gold):
+        assert np.isclose(s, gs)

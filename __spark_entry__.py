@@ -45,10 +45,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _index(spark: SparkSession, sf_dir: str, weighting: str):
-    key = (sf_dir, weighting)
+def _index(spark: SparkSession, sf_dir: str, weighting: str, compress: bool = False):
+    key = (sf_dir, weighting, compress)
     if key not in _INDEX_CACHE:
-        cfg = IndexConfig(weighting=weighting, weight_dtype="double")
+        cfg = IndexConfig(weighting=weighting, weight_dtype="double", compress=compress)
         idx = build_index(_corpus(spark, sf_dir), cfg)
         # materialize once — the driver runs many queries against the same
         # index; without this every query would recompute the build lineage
@@ -260,6 +260,29 @@ def _q_corpus_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 from invertedfiles_jl_spark.plans import oracles as _osql
 
 
+def _q_bm25_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BM25 plan over a delta-gap+varbyte COMPRESSED index — the
+    north-rule codec path, driver-gated against the same oracle (matched
+    lists are decoded by search._matched)."""
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "bm25", compress=True)
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_wand_bm25_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max MaxScore kernel over the compressed index (kernel-side
+    varbyte decode, operators.wand)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.wand import wand_topk
+
+    idx = _index(spark, sf_dir, "bm25", compress=True)
+    res = wand_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
 def _q_wand_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -389,9 +412,9 @@ def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from invertedfiles_jl_spark.operators.multimodal import attach_media, extract_features
+    from invertedfiles_jl_spark.operators.multimodal import attach_media, features_long
 
-    return extract_features(attach_media(_corpus(spark, sf_dir)))
+    return features_long(attach_media(_corpus(spark, sf_dir)))
 
 
 def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +426,7 @@ def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.functions.text import rolling_fingerprint
 
-    return rolling_fingerprint(_corpus(spark, sf_dir)).select("doc_id", "n_chunks")
+    return rolling_fingerprint(_corpus(spark, sf_dir))
 
 
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,8 +522,8 @@ def _q_recall_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """allknn over the first 50 docs as queries (rows-only; the exhaustive
-    parity gate runs in pytest on the dense fixture)."""
+    """allknn over the first 50 docs as queries — self-join cosine oracle
+    (reference contract /root/reference/test/invfiles.jl:97)."""
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.operators.build import doc_term_freqs
@@ -517,7 +540,8 @@ def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_vector_index(pairs, cfg)
     sample = pairs.filter(F.col("doc_id") < 50)
-    return allknn(idx, sample, k=3)
+    res = allknn(idx, sample, k=3, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("dist", 5).alias("dist"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -540,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_flat": _q_postings_flat,
         "corpus_commits": _q_corpus_commits,
         "wand_bm25_topk": _q_wand_bm25,
+        "bm25_compressed_topk": _q_bm25_compressed,
+        "wand_bm25_compressed_topk": _q_wand_bm25_compressed,
         "sharded_bm25_topk": _q_sharded_bm25,
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
@@ -558,10 +584,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface": _q_sql_surface,
         "exhaustive_cosine": _q_exhaustive_cosine,
         "recall_cosine_vs_exhaustive": _q_recall_cosine,
-        "allknn_sample": _q_allknn_sample,         # rows-only (pytest-gated)
-        "media_features": _q_media_features,       # rows-only (stubbed decode)
-        "frame_sample_plan": _q_frame_plan,        # rows-only
-        "rolling_fingerprint": _q_rolling_fp,      # rows-only (UDF-only op)
+        "allknn_sample": _q_allknn_sample,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_plan,
+        "rolling_fingerprint": _q_rolling_fp,
     }
 
 
@@ -586,6 +612,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
 """,
         "postings_flat": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
         "wand_bm25_topk": _bm25_sql(),
+        "bm25_compressed_topk": _bm25_sql(),
+        "wand_bm25_compressed_topk": _bm25_sql(),
         "sharded_bm25_topk": _bm25_sql(),
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
@@ -598,6 +626,30 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(),
+        "media_features": _osql.media_features_sql(),
+        "frame_sample_plan": _osql.frame_sample_plan_sql(),
+        "rolling_fingerprint": _osql.rolling_fingerprint_sql(),
+        "allknn_sample": f"""
+WITH {_BASE_CTES},
+np AS (
+  SELECT tf.doc_id, term, tf / norm AS w
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+),
+q AS (SELECT doc_id AS query_id, term, w AS qw FROM np WHERE doc_id < 50),
+dots AS (
+  SELECT q.query_id, np.doc_id, 1.0 - sum(q.qw * np.w) AS dist
+  FROM q JOIN np ON q.term = np.term
+  GROUP BY q.query_id, np.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dist, 6) ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM dots
+)
+SELECT query_id, rank, doc_id, round(dist, 5) AS dist
+FROM ranked WHERE rank <= 3
+""",
         "incremental_postings": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",
         "index_stats": f"""
 WITH {_BASE_CTES}

@@ -106,44 +106,73 @@ def fingerprint(df: DataFrame, cfg: IndexConfig | None = None,
     )
 
 
-def rolling_fingerprint(df: DataFrame, window: int = 16, mod: int = (1 << 61) - 1,
-                        base: int = 257, doc_col: str = "doc_id",
+ROLLING_MOD = (1 << 31) - 1   # Mersenne prime < 2^31 ⇒ every intermediate
+ROLLING_BASE = 257            # product fits int64 — fully numpy-vectorizable
+
+
+def _pow_table(n: int, base: int, mod: int):
+    """pw[k] = base^k % mod for k < n — O(log n) doubling, vectorized."""
+    import numpy as np
+
+    pw = np.empty(max(n, 1), dtype=np.int64)
+    pw[0] = 1
+    m = 1
+    while m < n:
+        t = min(m, n - m)
+        step = int(pw[m - 1] * base % mod)          # base^m
+        pw[m:m + t] = pw[:t] * step % mod           # products < 2^62
+        m *= 2
+    return pw
+
+
+def rolling_fingerprint(df: DataFrame, window: int = 16, mod: int = ROLLING_MOD,
+                        base: int = ROLLING_BASE, doc_col: str = "doc_id",
                         content_col: str = "content") -> DataFrame:
-    """(doc_id, n_chunks, chunk_hashes array<long>) — Karp–Rabin rolling hash
-    over bytes with content-defined chunk boundaries (hash % 64 == 0).
-    numpy-vectorized pandas UDF (Arrow batches, no per-row Python loops over
-    chars beyond the window warm-up recurrence, which numpy cannot express
-    without a scan — implemented as a vectorized polynomial evaluation per
-    position via cumulative products)."""
+    """(doc_id, chunk_idx, chunk_hash) — Karp–Rabin rolling hash over code
+    points with content-defined chunk boundaries (window hash % 64 == 0 cuts
+    after the window), then a polynomial hash per chunk.  The CDC primitive
+    of dedup pipelines (shift-resistant chunk fingerprints).
+
+    Vectorization: code points via utf-32 reinterpretation, window hashes as
+    one int64 matmul over a sliding view, chunk hashes as modded dot
+    products against a doubling-built power table — no object dtype, no
+    per-character Python.  mod < 2^31 keeps every product below 2^52 and
+    every sum below 2^63 (docs < 2^11 chars would even tolerate raw sums).
+    Docs shorter than the window yield one whole-doc chunk; empty docs none.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def _chunks(texts: pd.Series) -> pd.Series:
+        wpow = np.array([pow(base, window - 1 - j, mod) for j in range(window)],
+                        dtype=np.int64)
         out = []
         for s in texts.fillna(""):
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            if len(b) < window:
-                out.append([int(b.sum() % mod)] if len(b) else [])
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = len(c)
+            if n == 0:
+                out.append([])
                 continue
-            # rolling polynomial hash via sliding_window_view matmul (mod'd)
-            powers = np.array([pow(base, window - 1 - i, mod) for i in range(window)],
-                              dtype=object)
-            win = np.lib.stride_tricks.sliding_window_view(b, window)
-            hashes = (win.astype(object) @ powers) % mod
-            cuts = np.flatnonzero((hashes % 64) == 0)
-            bounds = np.concatenate(([0], cuts + window, [len(b)]))
-            bounds = np.unique(np.clip(bounds, 0, len(b)))
+            if n >= window:
+                win = np.lib.stride_tricks.sliding_window_view(c, window)
+                hashes = (win @ wpow) % mod
+                cuts = np.flatnonzero(hashes % 64 == 0)
+                bounds = np.unique(np.concatenate(([0], cuts + window, [n])))
+            else:
+                bounds = np.array([0, n])
+            pw = _pow_table(n, base, mod)
             chunks = []
             for i in range(len(bounds) - 1):
-                seg = b[bounds[i]:bounds[i + 1]]
-                if len(seg):
-                    chunks.append(int((seg.astype(object) @
-                                       np.array([pow(base, len(seg) - 1 - j, mod)
-                                                 for j in range(len(seg))], dtype=object)) % mod))
+                l, r = int(bounds[i]), int(bounds[i + 1])
+                seg = c[l:r] * pw[r - l - 1::-1] % mod
+                chunks.append(int(seg.sum() % mod))
             out.append(chunks)
         return pd.Series(out)
 
-    res = df.select(F.col(doc_col).alias("doc_id"), _chunks(F.col(content_col)).alias("chunk_hashes"))
-    return res.select("doc_id", F.size("chunk_hashes").alias("n_chunks"), "chunk_hashes")
+    res = df.select(F.col(doc_col).alias("doc_id"),
+                    _chunks(F.col(content_col)).alias("chunk_hashes"))
+    return res.select(
+        "doc_id", F.posexplode("chunk_hashes").alias("chunk_idx", "chunk_hash")
+    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_hash")

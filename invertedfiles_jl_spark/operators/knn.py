@@ -58,16 +58,35 @@ def build_vector_index(pairs: DataFrame, cfg: IndexConfig | None = None) -> Inve
 
 
 def _join_matched(index: InvertedIndex, qpairs: DataFrame, broadcast_queries: bool) -> DataFrame:
-    q = F.broadcast(qpairs) if broadcast_queries else qpairs
-    joined = index.postings.join(q, "term")
-    return joined.select(
-        "query_id", "qw",
-        F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
+    postings = index.postings
+    if "ids_vb" in postings.columns:
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        postings = decompress_postings(postings)
+    if broadcast_queries:
+        joined = postings.join(F.broadcast(qpairs), "term")
+        return joined.select(
+            "query_id", "qw",
+            F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
+        ).select(
+            "query_id", "qw",
+            F.col("e.doc_ids").alias("doc_id"),
+            F.col("e.weights").alias("weight"),
+        )
+    # Shuffle-join path (query side too big to broadcast, e.g. allknn):
+    # explode postings to ROW granularity BEFORE the join.  A hot term with
+    # df=d still contributes d·q_d joined rows (inherent to exact allknn),
+    # but as rows — not array payloads replicated per query — so AQE's
+    # skew-join splitting can cut an oversized term partition into many
+    # tasks; no single task ever holds a whole hot list × its queries.
+    flat = postings.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "weights")).alias("e")
     ).select(
-        "query_id", "qw",
+        "term",
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
+    return flat.join(qpairs, "term").select("query_id", "qw", "doc_id", "weight")
 
 
 def searchbatch_cosine(index: InvertedIndex, qpairs: DataFrame, k: int = 10,
@@ -106,13 +125,17 @@ def searchbatch_set(index: InvertedIndex, qsets: DataFrame, k: int = 10,
                 rank_round=rank_round)
 
 
-def allknn(index: InvertedIndex, pairs: DataFrame, k: int = 3) -> DataFrame:
+def allknn(index: InvertedIndex, pairs: DataFrame, k: int = 3,
+           rank_round: int | None = None) -> DataFrame:
     """k nearest neighbors of every indexed doc against the index itself
     (/root/reference/test/invfiles.jl:97).  Candidates restricted to docs
     sharing ≥1 term; self-match included at distance 0 like the reference's
-    exhaustive oracle.  Query side = corpus ⇒ shuffle join, never broadcast.
+    exhaustive oracle.  Query side = corpus ⇒ shuffle join, never broadcast;
+    postings are exploded to rows pre-join so AQE skew splitting bounds the
+    per-task footprint of Zipfian hot terms (see ``_join_matched``).
     """
     qpairs = pairs.select(
         F.col("doc_id").alias("query_id"), "term", F.col("weight").alias("qw")
     )
-    return searchbatch_cosine(index, qpairs, k, broadcast_queries=False)
+    return searchbatch_cosine(index, qpairs, k, broadcast_queries=False,
+                              rank_round=rank_round)

@@ -29,10 +29,18 @@ def attach_media(df: DataFrame, doc_col: str = "doc_id",
                  content_col: str = "content") -> DataFrame:
     """Derive a deterministic media table from a text corpus: payload =
     utf-8 bytes (an opaque blob as far as downstream is concerned), metadata
-    derived from payload length/hash.  Stands in for `images/audio/video`
-    ingestion — same schema a real pipeline would carry."""
+    derived from an md5-based content hash.  Stands in for
+    `images/audio/video` ingestion — same schema a real pipeline would
+    carry.  The hash is ``ascii`` arithmetic over the md5 hex digest so the
+    driver's DuckDB oracle can reproduce it exactly (xxhash64 has no DuckDB
+    analog)."""
     payload = F.col(content_col).cast("binary")
-    h = F.abs(F.xxhash64(F.col(content_col)))
+    hexd = F.md5(F.col(content_col))
+    h = (
+        F.ascii(F.substring(hexd, 1, 1)) * 65536
+        + F.ascii(F.substring(hexd, 2, 1)) * 256
+        + F.ascii(F.substring(hexd, 3, 1))
+    )
     return df.select(
         F.col(doc_col).alias("doc_id"),
         F.when(h % 3 == 0, "image").when(h % 3 == 1, "audio").otherwise("video").alias("modality"),
@@ -82,6 +90,22 @@ def extract_features(media: DataFrame, mode: str = "stub",
             )
 
     return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def features_long(media: DataFrame, mode: str = "stub",
+                  round_digits: int = 7) -> DataFrame:
+    """(doc_id, modality, dim, value) — exploded scalar form of
+    :func:`extract_features` for relational consumers (and the driver's
+    value-hash compare, which needs hashable scalar columns, not
+    ``array<float>``).  ``value`` is the float32 feature widened to double
+    and rounded, bit-stable across engines."""
+    feats = extract_features(media, mode)
+    return feats.select(
+        "doc_id", "modality", F.posexplode("feature").alias("dim", "v")
+    ).select(
+        "doc_id", "modality", F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("v").cast("double"), round_digits).alias("value"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

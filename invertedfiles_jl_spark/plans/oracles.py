@@ -271,3 +271,114 @@ pairs AS (
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal (operators.multimodal) — md5/sha256-hex arithmetic mirrors
+# attach_media/_stub_features exactly
+# ---------------------------------------------------------------------------
+
+_MEDIA_H = ("(ascii(substr(md5(text), 1, 1)) * 65536 "
+            "+ ascii(substr(md5(text), 2, 1)) * 256 "
+            "+ ascii(substr(md5(text), 3, 1)))")
+
+
+def media_features_sql(dim: int = 16) -> str:
+    """Oracle for features_long: the stub feature vector is uint32
+    little-endian words of the repeated sha256 digest, scaled to [0,1) as
+    float32 — all reproducible from the hex digest with strpos math."""
+    def hv(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(d, {pos}, 1)) - 1)"
+
+    def byte(bi: int) -> str:  # 0-based digest byte → int expr
+        return f"({hv(2 * bi + 1)} * 16 + {hv(2 * bi + 2)})"
+
+    cases = []
+    for i in range(dim):
+        bb = (i % 8) * 4  # 32-byte digest = 8 words; dims 8.. repeat
+        u = " + ".join(f"{byte(bb + j)} * {256 ** j}" for j in range(4))
+        cases.append(f"WHEN dim = {i} THEN CAST({u} AS BIGINT)")
+    u_expr = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_H} AS h, sha256(text) AS d FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN h % 3 = 0 THEN 'image' WHEN h % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         d
+  FROM m
+),
+ex AS (
+  SELECT doc_id, modality, d, unnest(generate_series(0, {dim - 1})) AS dim
+  FROM base
+)
+SELECT doc_id, modality, CAST(dim AS INTEGER) AS dim,
+       round(CAST(CAST(({u_expr}) / 4294967296.0 AS REAL) AS DOUBLE), 7) AS value
+FROM ex
+"""
+
+
+def frame_sample_plan_sql(every_n: int = 30) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_H} AS h FROM documents
+),
+v AS (SELECT doc_id, (h % 300 + 1) AS n_frames FROM m WHERE h % 3 = 2)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), {every_n})) AS INTEGER) AS frame_idx
+FROM v
+"""
+
+
+def rolling_fingerprint_sql(window: int = 16, mod: int = 2147483647,
+                            base: int = 257) -> str:
+    """Oracle for functions.text.rolling_fingerprint: same Karp–Rabin
+    polynomial over code points, powers from a recursive CTE, window sums
+    (DuckDB sums BIGINT into HUGEINT, so no overflow) and per-segment
+    hashes from the cut boundaries."""
+    w1 = window - 1
+    return f"""
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1, (p * {base}) % {mod} FROM pw
+  WHERE k < (SELECT coalesce(max(length(text)), 1) FROM documents)
+),
+dn AS (SELECT doc_id, length(text) AS n, text FROM documents WHERE length(text) > 0),
+cc AS (
+  SELECT doc_id, n, pos - 1 AS t, unicode(substr(text, CAST(pos AS INTEGER), 1)) AS code
+  FROM (SELECT doc_id, n, text, unnest(generate_series(1, n)) AS pos FROM dn)
+),
+wh AS (
+  SELECT cc.doc_id, cc.t - o.j AS wstart,
+         CAST(sum(cc.code * pwj.p) % {mod} AS BIGINT) AS h
+  FROM cc
+  JOIN (SELECT unnest(generate_series(0, {w1})) AS j) o ON cc.t - o.j >= 0
+  JOIN pw pwj ON pwj.k = {w1} - o.j
+  GROUP BY cc.doc_id, cc.t - o.j
+  HAVING count(*) = {window}
+),
+bounds AS (
+  SELECT DISTINCT doc_id, b FROM (
+    SELECT doc_id, 0 AS b FROM dn
+    UNION ALL SELECT doc_id, n FROM dn
+    UNION ALL SELECT doc_id, wstart + {window} AS b FROM wh WHERE h % 64 = 0
+  )
+),
+segs AS (
+  SELECT doc_id, l, r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY l) - 1 AS chunk_idx
+  FROM (
+    SELECT doc_id, b AS l, lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS r
+    FROM bounds
+  ) WHERE r IS NOT NULL AND r > l
+)
+SELECT s.doc_id, CAST(s.chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(sum((cc.code * pwj.p) % {mod}) % {mod} AS BIGINT) AS chunk_hash
+FROM segs s
+JOIN cc ON cc.doc_id = s.doc_id AND cc.t >= s.l AND cc.t < s.r
+JOIN pw pwj ON pwj.k = s.r - 1 - cc.t
+GROUP BY s.doc_id, s.chunk_idx
+"""

@@ -72,11 +72,14 @@ def test_rolling_fingerprint_deterministic(spark):
          (3, "a totally different document body " * 15), (4, "short")],
         "doc_id long, content string",
     )
-    rows = {r["doc_id"]: (r["n_chunks"], list(r["chunk_hashes"]))
-            for r in rolling_fingerprint(df).collect()}
+    rows: dict = {}
+    for r in rolling_fingerprint(df).collect():
+        rows.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_hash"]))
+    for d in rows:
+        rows[d].sort()
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
-    assert rows[4][0] >= 1
+    assert len(rows[4]) >= 1  # shorter than the window → one whole-doc chunk
 
 
 # ---------------------------------------------------------------------------

@@ -9,16 +9,18 @@ index BY DOCUMENT: each shard holds the sub-lists of *all* terms restricted
 to its doc range, so a doc's full score is computable inside one shard.
 A query batch then becomes:
 
-    postings (sharded)
+    postings (sharded, co-located)
       ⋉ broadcast(query term_ids)          prune unmatched term rows, JVM-side
-      → groupBy(shard).applyInPandas       full scores + per-shard top-k
+      → mapInPandas (co-located serve)     full scores + per-partition top-k
+        | groupBy(shard).applyInPandas     (safe path for arbitrary layouts)
       → window top-k over S×Q×k rows       final merge (tiny)
 
-``groupBy(shard)`` makes the co-location invariant EXPLICIT: every row of a
-shard reaches exactly one kernel call regardless of how the shards table was
-produced (cached, repartitioned, or re-read from parquet where file splits
-ignore the write-time layout).  The shuffle it costs moves only the
-query-matched rows — the broadcast semi-join prunes first.
+Co-location contract: the kernel needs every doc's rows inside one task.
+``load_shards`` (serving mode) pays ONE repair shuffle per session —
+``repartition(n, "shard")`` + cache — after which every batch runs with no
+wide exchange (``assume_colocated=True``).  For arbitrary inputs (a parquet
+re-read whose file splits scattered shards across tasks) the default safe
+path inserts a per-batch ``groupBy(shard)`` shuffle of the matched rows.
 
 Per-shard top-k under the same total order (HALF_UP-rounded score desc,
 doc_id asc — bit-identical to the final window's ``F.round``) is rank-safe:
@@ -94,56 +96,93 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
     )
 
 
-def _score_kernel(qmap_bc, k: int, rank_round):
-    """applyInPandas kernel: one call per shard — accumulate per-query
-    scores over the shard's posting rows, emit the shard's top-k per query.
+def _accumulate(acc_ids: dict, acc_contrib: dict, qmap: dict, pdf) -> None:
+    tids = pdf["term_id"].to_numpy()
+    ids_col = pdf["doc_ids"].to_numpy()
+    w_col = pdf["weights"].to_numpy()
+    for i in range(len(pdf)):
+        hit = qmap.get(int(tids[i]))
+        if hit is None:
+            continue
+        ids = np.asarray(ids_col[i], dtype=np.int64)
+        ws = np.asarray(w_col[i], dtype=np.float64)
+        for qid, qw in zip(*hit):
+            acc_ids.setdefault(int(qid), []).append(ids)
+            acc_contrib.setdefault(int(qid), []).append(qw * ws)
+
+
+def _emit_topk(acc_ids: dict, acc_contrib: dict, k: int, rank_round):
+    import pandas as pd
+
+    if not acc_ids:
+        return pd.DataFrame(
+            {"query_id": np.empty(0, np.int64),
+             "doc_id": np.empty(0, np.int64),
+             "score": np.empty(0, np.float64)}
+        )
+    out_q, out_d, out_s = [], [], []
+    for qid, id_chunks in acc_ids.items():
+        all_ids = np.concatenate(id_chunks)
+        all_sc = np.concatenate(acc_contrib[qid])
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.bincount(inv, weights=all_sc, minlength=len(uids))
+        key = _round_half_up(scores, rank_round) if rank_round is not None else scores
+        sel = np.lexsort((uids, -key))[:k]  # same total order as topk()
+        out_q.append(np.full(len(sel), qid, dtype=np.int64))
+        out_d.append(uids[sel])
+        out_s.append(scores[sel])
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"query_id": np.concatenate(out_q),
+         "doc_id": np.concatenate(out_d),
+         "score": np.concatenate(out_s)}
+    )
+
+
+def _shard_kernel(qmap_bc, k: int, rank_round):
+    """applyInPandas kernel (safe path): one call per shard group —
+    accumulate per-query scores over the shard's posting rows, emit the
+    shard's top-k per query.
 
     ``qmap_bc``: sc.broadcast of {term_id → (qids int64 array, qws float64
     array)} — shipped once per executor, not per task.  All arithmetic is
     numpy over whole posting arrays; Python touches O(#rows) objects.
     """
-    import pandas as pd
-
     def kernel(pdf):
         qmap = qmap_bc.value
-        per_q_ids: dict[int, list] = {}
-        per_q_contrib: dict[int, list] = {}
-        tids = pdf["term_id"].to_numpy()
-        ids_col = pdf["doc_ids"].to_numpy()
-        w_col = pdf["weights"].to_numpy()
-        for i in range(len(pdf)):
-            hit = qmap.get(int(tids[i]))
-            if hit is None:
-                continue
-            ids = np.asarray(ids_col[i], dtype=np.int64)
-            ws = np.asarray(w_col[i], dtype=np.float64)
-            for qid, qw in zip(*hit):
-                per_q_ids.setdefault(int(qid), []).append(ids)
-                per_q_contrib.setdefault(int(qid), []).append(qw * ws)
-        if not per_q_ids:
-            return pd.DataFrame(
-                {"query_id": np.empty(0, np.int64),
-                 "doc_id": np.empty(0, np.int64),
-                 "score": np.empty(0, np.float64)}
-            )
-        out_q, out_d, out_s = [], [], []
-        for qid, id_chunks in per_q_ids.items():
-            all_ids = np.concatenate(id_chunks)
-            all_sc = np.concatenate(per_q_contrib[qid])
-            uids, inv = np.unique(all_ids, return_inverse=True)
-            scores = np.bincount(inv, weights=all_sc, minlength=len(uids))
-            key = _round_half_up(scores, rank_round) if rank_round is not None else scores
-            sel = np.lexsort((uids, -key))[:k]  # same total order as topk()
-            out_q.append(np.full(len(sel), qid, dtype=np.int64))
-            out_d.append(uids[sel])
-            out_s.append(scores[sel])
-        return pd.DataFrame(
-            {"query_id": np.concatenate(out_q),
-             "doc_id": np.concatenate(out_d),
-             "score": np.concatenate(out_s)}
-        )
+        acc_i: dict = {}
+        acc_c: dict = {}
+        _accumulate(acc_i, acc_c, qmap, pdf)
+        return _emit_topk(acc_i, acc_c, k, rank_round)
 
     return kernel
+
+
+def _partition_kernel(qmap_bc, k: int, rank_round):
+    """mapInPandas kernel (co-located fast path): accumulate across ALL of
+    the partition's Arrow batches, emit one top-k per query per PARTITION.
+    Correct whenever every doc's rows live inside one partition — which
+    ``repartition(n, "shard")`` (each partition = a union of whole shards)
+    guarantees; per-partition top-k under the shared total order is then
+    rank-safe exactly like the per-shard cut."""
+    def kernel(batches):
+        qmap = qmap_bc.value
+        acc_i: dict = {}
+        acc_c: dict = {}
+        for pdf in batches:
+            _accumulate(acc_i, acc_c, qmap, pdf)
+        yield _emit_topk(acc_i, acc_c, k, rank_round)
+
+    return kernel
+
+
+def load_shards(spark, path: str, n_shards: int) -> DataFrame:
+    """Open a persisted shards table for serving: one repair shuffle
+    restores shard co-location (parquet file splits ignore the write-time
+    layout), then the table is cached so every subsequent batch scans it in
+    place with ZERO per-batch shuffle (``assume_colocated=True``)."""
+    return spark.read.parquet(path).repartition(n_shards, "shard").cache()
 
 
 def sharded_topk(
@@ -153,12 +192,17 @@ def sharded_topk(
     n_shards: int = 32,
     rank_round: "int | None" = None,
     sharded: DataFrame | None = None,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Batch BM25 (or dot-product) top-k over a doc-sharded layout.
 
-    Pass ``sharded=`` a cached :func:`shard_postings` result to amortize the
-    re-layout across batches (the intended serving mode); otherwise it is
-    derived on the fly.  Rank-identical to ``bm25_topk`` (pytest gate,
+    Serving mode: pass ``sharded=`` a :func:`load_shards` (or cached
+    :func:`shard_postings`) result with ``assume_colocated=True`` — the
+    batch then runs with no wide exchange at all (semi-join prune →
+    mapInPandas → tiny final window).  Without the flag, a per-batch
+    ``groupBy(shard)`` shuffle of the MATCHED rows enforces co-location for
+    arbitrary inputs (e.g. a parquet re-read whose file splits scattered the
+    shards).  Rank-identical to ``bm25_topk`` either way (pytest gate,
     including over a written-then-re-read shards table).
     """
     assert index.cfg.weighting in ("bm25", "normcosine")
@@ -194,13 +238,22 @@ def sharded_topk(
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
     qmap_bc = spark.sparkContext.broadcast(qmap)
 
-    sharded = sharded if sharded is not None else shard_postings(index, n_shards)
+    if sharded is None:
+        # fresh repartition(n, "shard") output — co-location holds by
+        # construction and survives the narrow broadcast join below
+        sharded = shard_postings(index, n_shards)
+        assume_colocated = True
     # JVM-side semi-join prune: only matched term rows reach Arrow.
     qterms = spark.createDataFrame([(t,) for t in qmap], "term_id long")
     pruned = sharded.join(F.broadcast(qterms), "term_id", "left_semi")
-    # groupBy(shard) guarantees each shard lands wholly in one kernel call
-    # whatever the physical layout of `sharded` is (see module docstring)
-    partials = pruned.groupBy("shard").applyInPandas(
-        _score_kernel(qmap_bc, k, rank_round), _OUT_SCHEMA
-    )
+    if assume_colocated:
+        partials = pruned.mapInPandas(
+            _partition_kernel(qmap_bc, k, rank_round), _OUT_SCHEMA
+        )
+    else:
+        # arbitrary layout: one groupBy(shard) shuffle of the matched rows
+        # restores co-location before the kernel
+        partials = pruned.groupBy("shard").applyInPandas(
+            _shard_kernel(qmap_bc, k, rank_round), _OUT_SCHEMA
+        )
     return topk(partials, k, "score", ascending=False, rank_round=rank_round)

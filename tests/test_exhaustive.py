@@ -84,3 +84,47 @@ def test_exhaustive_agrees_with_numpy(spark, tiny):
     dists = 1.0 - mat @ q
     want_ids = list(np.lexsort((np.arange(n_docs), dists))[:5])
     assert got_ids == want_ids
+
+
+def test_allknn_skewed_hot_term(spark):
+    """allknn on a skewed fixture: one term appears in EVERY doc (df = n).
+    The row-granular shuffle join + AQE skew split must still produce exact
+    results (vs brute force over the same pairs)."""
+    import numpy as np
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.knn import allknn, build_vector_index
+
+    n, dim = 120, 6
+    rows = []
+    for d in range(n):
+        # hot term 0 in every doc + one rare term per doc
+        vals = [(d, 0, 1.0), (d, 1 + d % dim, 2.0 + (d % 7))]
+        rows.extend(vals)
+    pairs = spark.createDataFrame(rows, "doc_id long, term long, weight double")
+    # normalize per doc
+    from pyspark.sql import functions as F
+
+    nrm = pairs.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("weight") ** 2)).alias("nn"))
+    npairs = pairs.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("weight") / F.col("nn")).alias("weight"))
+    idx = build_vector_index(npairs, IndexConfig(weighting="normcosine",
+                                                 weight_dtype="double",
+                                                 salt_df_threshold=16,
+                                                 salt_buckets=4))
+    got: dict = {}
+    for r in allknn(idx, npairs, k=3, rank_round=6).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["dist"]))
+
+    # numpy brute force
+    vecs = np.zeros((n, 1 + dim))
+    for d in range(n):
+        vecs[d, 0] = 1.0
+        vecs[d, 1 + d % dim] = 2.0 + (d % 7)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vecs @ vecs.T
+    for q in range(n):
+        dists = 1.0 - sims[q]
+        order = np.lexsort((np.arange(n), np.round(dists, 6)))[:3]
+        mine = [d for _, d, _ in sorted(got[q])]
+        assert mine == order.tolist(), f"q{q}: {mine} vs {order.tolist()}"

@@ -62,3 +62,36 @@ def test_binary_append_rank_identical(halves, spark):
     b = {(r["query_id"], r["rank"]): r["doc_id"]
          for r in set_distance_topk(ref, queries_df(spark), 10, "jaccard").collect()}
     assert a == b
+
+
+def test_append_compressed_resalts_correctly(halves, spark):
+    """Append on a COMPRESSED index: merged lists must be re-salted against
+    the merged doc range (doc-range-disjoint sub-lists), re-encoded, and
+    decode to exactly the full-rebuild postings."""
+    from invertedfiles_jl_spark.operators.codec import decode_posting
+
+    h1, h2, full = halves
+    # low salt threshold so hot terms actually salt in this corpus
+    cfg = IndexConfig(weighting="binary", compress=True, salt_df_threshold=50,
+                      salt_buckets=4)
+    idx = append_documents(build_index(h1, cfg), h2)
+    ref = build_index(full, cfg)
+
+    def content(ix):
+        merged: dict = {}
+        ranges: dict = {}
+        for r in ix.postings.collect():
+            ids = decode_posting(bytes(r["ids_vb"])).tolist()
+            merged.setdefault(r["term"], []).extend(ids)
+            ranges.setdefault(r["term"], []).append((r["salt"], min(ids), max(ids)))
+        return merged, ranges
+
+    got, got_ranges = content(idx)
+    want, _ = content(ref)
+    assert {t: sorted(v) for t, v in got.items()} == {t: sorted(v) for t, v in want.items()}
+    # salt invariant: within a term, sub-list doc ranges are disjoint and
+    # ordered by salt — concatenation in salt order is globally doc-sorted
+    for t, parts in got_ranges.items():
+        parts.sort()
+        for (s0, _, hi0), (s1, lo1, _) in zip(parts, parts[1:]):
+            assert hi0 < lo1, f"term {t}: salt {s0} range overlaps salt {s1}"

@@ -70,3 +70,18 @@ def test_config_change_invalidates(corpus, spark, tmp_path):
     assert os.path.getmtime(os.path.join(p, "postings_lineage.json")) > t0
     with open(os.path.join(p, "index.json")) as f:
         assert json.load(f)["config"]["weighting"] == "normcosine"
+
+
+def test_catalog_detection_and_parquet_fallback(corpus, spark, tmp_path):
+    """No Iceberg jar in this sandbox: catalog_configured must be False for
+    unconfigured names, and build_checkpointed with a catalog arg must fall
+    back to parquet stage dirs rather than erroring."""
+    from invertedfiles_jl_spark.plans.pipeline import catalog_configured
+
+    assert not catalog_configured(spark, None)
+    assert not catalog_configured(spark, "nosuch.db")
+    p = str(tmp_path / "idx")
+    idx = build_checkpointed(corpus, p, IndexConfig(weighting="binary"),
+                             catalog="nosuch.db")
+    assert os.path.isdir(os.path.join(p, "postings"))
+    assert idx.postings.count() > 0

@@ -101,3 +101,23 @@ def test_sharded_compressed_index(spark, corpus):
     assert got.keys() == want.keys()
     for q in want:
         assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+
+
+def test_sharded_fast_path_load_shards(spark, corpus, tmp_path):
+    """Serving fast path: load_shards (repair shuffle + cache) +
+    assume_colocated=True — rank-identity still holds."""
+    from invertedfiles_jl_spark.operators.sharded import load_shards
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    p = str(tmp_path / "shards")
+    shard_postings(idx, 8).write.mode("overwrite").parquet(p)
+    sharded = load_shards(spark, p, 8)
+    try:
+        want = _ranked(bm25_topk(idx, queries_df(spark), k=10, rank_round=6))
+        got = _ranked(sharded_topk(idx, queries_df(spark), k=10, rank_round=6,
+                                   sharded=sharded, assume_colocated=True))
+        assert got.keys() == want.keys()
+        for q in want:
+            assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+    finally:
+        sharded.unpersist()

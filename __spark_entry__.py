@@ -65,7 +65,7 @@ def _index(spark: SparkSession, sf_dir: str, weighting: str, compress: bool = Fa
 # arithmetic shape — see invertedfiles_jl_spark/functions/tokenize.py)
 # ---------------------------------------------------------------------------
 
-_TOK = "list_transform(list_filter(string_split_regex({col}, '\\s+'), t -> t != ''), t -> lower(t))"
+_TOK = "list_filter(string_split_regex(lower({col}), '\\s+'), t -> t != '')"
 
 _BASE_CTES = f"""
 tok AS (

@@ -23,19 +23,52 @@ def tokens_sql(content_sql: str, cfg: IndexConfig) -> str:
 
     Using an expression string keeps one definition usable from both the
     DataFrame API (``F.expr``) and ``spark.sql``.
+
+    Lowercasing is applied to the WHOLE string before splitting (one
+    ``lower`` call per document instead of a per-token ``transform`` lambda
+    — higher-order functions are CodegenFallback in Spark and would drop the
+    surrounding operator out of whole-stage codegen; identical output, since
+    lowercasing preserves whitespace and the code regex's character
+    classes).  The hot build/query paths avoid even the remaining ``filter``
+    lambda via :func:`exploded_terms`.
     """
+    if cfg.lowercase:
+        content_sql = f"lower({content_sql})"
     if cfg.tokenizer == "code":
         pat = IndexConfig.CODE_TOKEN_RE.replace("\\", "\\\\")
-        base = f"regexp_extract_all({content_sql}, '{pat}', 0)"
-    else:
-        base = f"filter(split({content_sql}, '\\\\s+'), t -> t != '')"
-    if cfg.lowercase:
-        base = f"transform({base}, t -> lower(t))"
-    return base
+        return f"regexp_extract_all({content_sql}, '{pat}', 0)"
+    return f"filter(split({content_sql}, '\\\\s+'), t -> t != '')"
+
+
+def exploded_terms(df, doc_out: str, doc_col: str, content_col: str,
+                   cfg: IndexConfig):
+    """(doc_out, term) rows — the 100%-codegen tokenize hot path.
+
+    ``explode(split(lower(content)))`` + a row-level empty filter keeps the
+    whole stage inside WholeStageCodegen: no higher-order-function lambdas
+    (ArrayTransform/ArrayFilter are interpreted ``CodegenFallback``
+    expressions and stall a 32-thread local build on allocation + ICU
+    per-token lowercasing).  Produces exactly the tokens of
+    ``tokens_sql`` row-by-row.
+    """
+    content = f"lower({content_col})" if cfg.lowercase else content_col
+    if cfg.tokenizer == "code":
+        pat = IndexConfig.CODE_TOKEN_RE.replace("\\", "\\\\")
+        arr = f"regexp_extract_all({content}, '{pat}', 0)"
+        out = df.select(
+            F.col(doc_col).alias(doc_out),
+            F.explode(F.expr(arr)).alias("term"),
+        )
+        return out  # the regex never matches the empty string
+    arr = f"split({content}, '\\\\s+')"
+    return df.select(
+        F.col(doc_col).alias(doc_out),
+        F.explode(F.expr(arr)).alias("term"),
+    ).filter(F.col("term") != "")
 
 
 def tokenize(df, content_col: str, cfg: IndexConfig, out_col: str = "tokens"):
-    """Add a ``tokens`` array column (JVM-side, codegen'd)."""
+    """Add a ``tokens`` array column (JVM-side)."""
     return df.withColumn(out_col, F.expr(tokens_sql(content_col, cfg)))
 
 
@@ -45,13 +78,11 @@ def duckdb_tokens_sql(content_sql: str, cfg: IndexConfig) -> str:
     Both engines use re2-style regex classes here, so the pattern string is
     shared verbatim.
     """
-    if cfg.tokenizer == "code":
-        base = f"regexp_extract_all({content_sql}, '{IndexConfig.CODE_TOKEN_RE}')"
-    else:
-        base = f"list_filter(string_split_regex({content_sql}, '\\s+'), t -> t != '')"
     if cfg.lowercase:
-        base = f"list_transform({base}, t -> lower(t))"
-    return base
+        content_sql = f"lower({content_sql})"
+    if cfg.tokenizer == "code":
+        return f"regexp_extract_all({content_sql}, '{IndexConfig.CODE_TOKEN_RE}')"
+    return f"list_filter(string_split_regex({content_sql}, '\\s+'), t -> t != '')"
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.config import IndexConfig
-from invertedfiles_jl_spark.functions.tokenize import tokens_sql
 
 
 @dataclass
@@ -89,12 +88,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def doc_term_freqs(corpus: DataFrame, cfg: IndexConfig,
                    doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
-    """corpus → (doc_id, term, tf).  Narrow until the single tf shuffle."""
+    """corpus → (doc_id, term, tf).  Narrow until the single tf shuffle;
+    the tokenize+explode stays entirely inside WholeStageCodegen
+    (``exploded_terms`` — no higher-order-function fallback)."""
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
     corpus = ensure_parallelism(corpus)
-    toks = corpus.select(
-        F.col(doc_col).alias("doc_id"),
-        F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),
-    )
+    toks = exploded_terms(corpus, "doc_id", doc_col, content_col, cfg)
     return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 

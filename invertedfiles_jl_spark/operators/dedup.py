@@ -204,10 +204,10 @@ def simhash(df: DataFrame, cfg: IndexConfig | None = None, bits: int = SIMHASH_B
     """(doc_id, simhash) — tf-weighted {bits}-bit SimHash over md5 term
     hashes.  Near-dups share most bits; exact-similar docs collide."""
     cfg = cfg or IndexConfig()
-    tf = df.select(
-        F.col(doc_col).alias("doc_id"),
-        F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),
-    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
+    tf = exploded_terms(df, "doc_id", doc_col, content_col, cfg) \
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("h", F.md5(F.col("term")))
     sums = tf.groupBy("doc_id").agg(
         *[F.expr(e).alias(a) for e, a in simhash_bit_sums_sql(bits)]

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.config import IndexConfig
-from invertedfiles_jl_spark.functions.tokenize import tokens_sql
 from invertedfiles_jl_spark.operators.build import InvertedIndex, term_id_col
 
 
@@ -40,10 +39,10 @@ def query_terms(queries: DataFrame, cfg: IndexConfig,
     key beats the string on shuffle width and hash cost; the string ``term``
     column stays only for human-facing outputs.
     """
-    qt = queries.select(
-        F.col(query_col).alias("query_id"),
-        F.explode(F.expr(tokens_sql(content_col, cfg))).alias("term"),
-    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
+    qt = exploded_terms(queries, "query_id", query_col, content_col, cfg)
+    qt = qt.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
     return qt.withColumn("term_id", term_id_col(F.col("term")))
 
 

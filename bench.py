@@ -64,7 +64,8 @@ def scaled_corpus(spark, factor: int):
     return out
 
 
-def run_scaling_job(cpus: int, n_docs: int = 200_000, n_queries: int = 500) -> dict:
+def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
+                    corpus_path: str | None = None) -> dict:
     """One scaling measurement on the FIXTURES F1 synthetic code corpus
     (5000-term Zipf vocabulary → realistic posting-list selectivity).
 
@@ -91,10 +92,23 @@ def run_scaling_job(cpus: int, n_docs: int = 200_000, n_queries: int = 500) -> d
     tmp = tempfile.mkdtemp(prefix="ifscale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         # materialize the synthetic corpus OUTSIDE the timed region — a real
-        # build reads a table, it does not pay for generating its input; this
-        # also warms executors/codegen before the measurement
-        synth_corpus(spark, n_docs).write.mode("overwrite").parquet(f"{tmp}/corpus")
-        corpus = spark.read.parquet(f"{tmp}/corpus")
+        # build reads a table, it does not pay for generating its input.
+        # The parent pre-generates one shared corpus so both parallelism
+        # levels read the byte-identical input (and generation cost is paid
+        # once, not per level).
+        if corpus_path is None:
+            synth_corpus(spark, n_docs).write.mode("overwrite").parquet(f"{tmp}/corpus")
+            corpus_path = f"{tmp}/corpus"
+        corpus = spark.read.parquet(corpus_path)
+
+        # throwaway small build: JVM JIT + whole-stage-codegen compilation of
+        # every build stage is a per-PROCESS constant (a real cluster's
+        # long-running executors amortize it across builds); timing it would
+        # add an identical fixed cost at both parallelism levels and measure
+        # JIT, not the engine (measured: first-run tf stage 33s vs 5.3s warm
+        # at the same input).  Same protocol as run_once.
+        build_checkpointed(corpus.limit(5000), f"{tmp}/warm",
+                           IndexConfig(weighting="bm25"), resume=False)
 
         t0 = time.perf_counter()
         build_checkpointed(corpus, f"{tmp}/idx", IndexConfig(weighting="bm25"), resume=False)
@@ -225,29 +239,57 @@ HEADLINE_QPS_KEY = "bm25_sharded_100q"  # batch-serving path = headline QPS
 
 def main():
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
         nq = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "500"))
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         n_hi = 4 * n_lo
         passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
-        # interleave [lo, hi] × passes and keep the MIN per level — this VM
-        # shows heavy run-to-run noise from neighbors; min is the least-noise
-        # estimator of the true job cost
-        results: dict[int, dict] = {}
-        for _ in range(passes):
-            for cpus in (n_lo, n_hi):
-                env = dict(os.environ)
-                env.pop("SPARK_GRAFT_SCALING", None)
-                env["SPARK_GRAFT_SCALEJOB"] = f"{cpus}:{n_docs}:{nq}"
-                p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                   capture_output=True, text=True, env=env)
-                lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-                if not lines:
-                    sys.stderr.write(p.stdout + "\n" + p.stderr)
-                    raise SystemExit(f"scaling subprocess at {cpus} cores produced no JSON")
-                r = json.loads(lines[-1])
-                prev = results.get(cpus)
-                results[cpus] = {k: min(v, prev[k]) if prev else v for k, v in r.items()}
+        # Pre-generate ONE corpus both levels read (byte-identical input;
+        # generation paid once), then interleave [lo, hi] × passes and keep
+        # the MIN per level — this VM shows heavy run-to-run noise from
+        # neighbors; min is the least-noise estimator of the true job cost
+        shared = tempfile.mkdtemp(
+            prefix="ifscale_corpus_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        try:
+            gen = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r); "
+                 "from invertedfiles_jl_spark.session import get_spark; "
+                 "from invertedfiles_jl_spark.sources.synth import synth_corpus; "
+                 "spark = get_spark('gen', master='local[32]'); "
+                 "spark.sparkContext.setLogLevel('ERROR'); "
+                 "synth_corpus(spark, %d).write.mode('overwrite').parquet(%r)"
+                 % (os.path.dirname(os.path.abspath(__file__)), n_docs,
+                    os.path.join(shared, "corpus"))],
+                capture_output=True, text=True)
+            if gen.returncode != 0:
+                sys.stderr.write(gen.stderr)
+                raise SystemExit("corpus generation failed")
+            corpus_path = os.path.join(shared, "corpus")
+            results: dict[int, dict] = {}
+            for _ in range(passes):
+                for cpus in (n_lo, n_hi):
+                    env = dict(os.environ)
+                    env.pop("SPARK_GRAFT_SCALING", None)
+                    env["SPARK_GRAFT_SCALEJOB"] = f"{cpus}:{n_docs}:{nq}"
+                    env["SPARK_GRAFT_SCALE_CORPUS"] = corpus_path
+                    # stable-JVM mode: pre-committed heap + ParallelGC —
+                    # lazy heap growth otherwise lands randomly inside one
+                    # timed stage (see session.get_spark)
+                    env["SPARK_GRAFT_JVM_STABLE"] = "1"
+                    env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+                    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                       capture_output=True, text=True, env=env)
+                    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+                    if not lines:
+                        sys.stderr.write(p.stdout + "\n" + p.stderr)
+                        raise SystemExit(f"scaling subprocess at {cpus} cores produced no JSON")
+                    r = json.loads(lines[-1])
+                    prev = results.get(cpus)
+                    results[cpus] = {k: min(v, prev[k]) if prev else v for k, v in r.items()}
+        finally:
+            shutil.rmtree(shared, ignore_errors=True)
         lo, hi = results[n_lo], results[n_hi]
         eff_b = (lo["build"] / hi["build"]) / 4.0
         qa_lo, qa_hi = nq / lo["planA_query"], nq / hi["planA_query"]
@@ -312,7 +354,9 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_SCALEJOB"):
         cpus, ndocs, nq = map(int, os.environ["SPARK_GRAFT_SCALEJOB"].split(":"))
-        print(json.dumps(run_scaling_job(cpus, ndocs, nq)))
+        print(json.dumps(run_scaling_job(
+            cpus, ndocs, nq,
+            corpus_path=os.environ.get("SPARK_GRAFT_SCALE_CORPUS"))))
         return
 
     queries = run_once(CPUS)

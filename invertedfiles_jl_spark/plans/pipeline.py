@@ -88,11 +88,15 @@ class _StageIO:
         self.catalog = catalog if catalog_configured(spark, catalog) else None
 
     def write(self, df: DataFrame, stage: str, lineage: dict) -> None:
+        import time
+
+        t0 = time.perf_counter()
         if self.catalog:
             df.writeTo(f"{self.catalog}.{stage}").createOrReplace()
         else:
             df.write.mode("overwrite").parquet(os.path.join(self.root, stage))
-        manifest = dict(lineage, stage=stage, complete=True)
+        manifest = dict(lineage, stage=stage, complete=True,
+                        wall_sec=round(time.perf_counter() - t0, 3))
         with open(_manifest_path(self.root, stage), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
 

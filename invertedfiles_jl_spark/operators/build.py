@@ -49,7 +49,7 @@ class InvertedIndex:
 
     docs: DataFrame      # doc_id, doc_len, nnz, norm, content_sha256
     vocab: DataFrame     # term, term_id, df, cf
-    postings: DataFrame  # term_id, term, salt, df_part, doc_ids|ids_vb, weights, max_weight
+    postings: DataFrame  # term_id, salt, df_part, doc_ids|ids_vb, weights, max_weight, block_max
     stats: dict          # n_docs, avg_doc_len
     cfg: IndexConfig
 
@@ -63,8 +63,20 @@ def term_id_col(term_col):
     join, no global row_number (which would single-partition a 10^9-term
     vocabulary).  Collisions merge two posting lists with probability
     ~n²/2⁶⁵ — negligible quality impact at corpus scale, zero at test scale.
+
+    Non-string term columns (the pre-vectorized input path hands integer
+    dimension ids) are cast to string first so every derivation site —
+    vocab, postings, query terms — produces the same id for the same term.
     """
-    return F.xxhash64(term_col)
+    return F.xxhash64(term_col.cast("string"))
+
+
+def with_term_id(df: DataFrame) -> DataFrame:
+    """Replace the string ``term`` with the fixed-width ``term_id`` BEFORE
+    the posting shuffle: the big exchange and the postings table carry an
+    8-byte key instead of a variable-width string (the string survives only
+    in ``vocab``, the human-facing dimension table)."""
+    return df.withColumn("term_id", term_id_col(F.col("term"))).drop("term")
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +172,8 @@ def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig
 
 def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
                  cfg: IndexConfig) -> DataFrame:
-    """Attach the hot-term salt column to flat (term, doc_id, weight) rows.
+    """Attach the hot-term salt column to flat (term_id, doc_id, weight)
+    rows (callers convert string terms via :func:`with_term_id` first).
 
     Hot-term salting is doc-RANGE-disjoint (not hash): bucket =
     ⌊doc_id·S/(max+1)⌋, so per-bucket sorted sub-lists concatenate in bucket
@@ -168,8 +181,8 @@ def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
     encoding and the k-way merge both need.
     """
     return (
-        weighted.join(F.broadcast(hot_terms.select("term", F.lit(True).alias("is_hot"))),
-                      "term", "left")
+        weighted.join(F.broadcast(hot_terms.select("term_id", F.lit(True).alias("is_hot"))),
+                      "term_id", "left")
         .withColumn(
             "salt",
             F.when(
@@ -185,19 +198,19 @@ def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
 
 
 def grouped_postings(salted: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(term, salt, doc_id, weight) rows → doc-sorted posting-list rows with
-    list-max and block-max metadata (Ding & Suel BMW 2011 skip data), plus
-    delta-gap varbyte compression when configured."""
+    """(term_id, salt, doc_id, weight) rows → doc-sorted posting-list rows
+    with list-max and block-max metadata (Ding & Suel BMW 2011 skip data),
+    plus delta-gap varbyte compression when configured.  The posting table
+    carries NO term string — join ``vocab`` on ``term_id`` to recover it."""
     bs = int(cfg.block_size)
     postings = (
-        salted.groupBy("term", "salt")
+        salted.groupBy("term_id", "salt")
         .agg(
             F.count(F.lit(1)).alias("df_part"),
             F.sort_array(F.collect_list(F.struct("doc_id", "weight"))).alias("plist"),
         )
         .select(
-            term_id_col(F.col("term")).alias("term_id"),
-            "term",
+            "term_id",
             "salt",
             "df_part",
             F.col("plist.doc_id").alias("doc_ids"),
@@ -220,10 +233,10 @@ def grouped_postings(salted: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
                    cfg: IndexConfig) -> DataFrame:
-    """Salted group-agg into doc-sorted posting lists."""
+    """Salted group-agg into doc-sorted posting lists, keyed on term_id."""
     hot = vocab.filter(F.col("df") > cfg.salt_df_threshold)
     return grouped_postings(
-        salted_pairs(weighted, hot, max(stats["n_docs"], 1), cfg), cfg
+        salted_pairs(with_term_id(weighted), hot, max(stats["n_docs"], 1), cfg), cfg
     )
 
 

@@ -63,8 +63,11 @@ def _join_matched(index: InvertedIndex, qpairs: DataFrame, broadcast_queries: bo
         from invertedfiles_jl_spark.operators.codec import decompress_postings
 
         postings = decompress_postings(postings)
+    # postings carry only the fixed-width term_id; derive it for the query
+    # side with the same xxhash64(string) the build used
+    qpairs = qpairs.withColumn("term_id", term_id_col(F.col("term"))).drop("term")
     if broadcast_queries:
-        joined = postings.join(F.broadcast(qpairs), "term")
+        joined = postings.join(F.broadcast(qpairs), "term_id")
         return joined.select(
             "query_id", "qw",
             F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
@@ -80,13 +83,13 @@ def _join_matched(index: InvertedIndex, qpairs: DataFrame, broadcast_queries: bo
     # skew-join splitting can cut an oversized term partition into many
     # tasks; no single task ever holds a whole hot list × its queries.
     flat = postings.select(
-        "term", F.explode(F.arrays_zip("doc_ids", "weights")).alias("e")
+        "term_id", F.explode(F.arrays_zip("doc_ids", "weights")).alias("e")
     ).select(
-        "term",
+        "term_id",
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
-    return flat.join(qpairs, "term").select("query_id", "qw", "doc_id", "weight")
+    return flat.join(qpairs, "term_id").select("query_id", "qw", "doc_id", "weight")
 
 
 def searchbatch_cosine(index: InvertedIndex, qpairs: DataFrame, k: int = 10,

@@ -47,11 +47,17 @@ def query_terms(queries: DataFrame, cfg: IndexConfig,
 
 
 def postings_exploded(index: InvertedIndex) -> DataFrame:
-    """Flatten posting arrays back to (term, doc_id, weight) rows."""
-    return index.postings.select(
-        "term",
+    """Flatten posting arrays back to (term, doc_id, weight) rows — the
+    term string is recovered from vocab (postings carry only term_id)."""
+    flat = index.postings.select(
+        "term_id",
         F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
-    ).select("term", F.col("e.doc_ids").alias("doc_id"), F.col("e.weights").alias("weight"))
+    ).select("term_id", F.col("e.doc_ids").alias("doc_id"), F.col("e.weights").alias("weight"))
+    # no broadcast hint: vocab auto-broadcasts under the threshold at test
+    # scale; at 10^9 terms AQE plans a shuffle join instead of OOMing
+    return flat.join(index.vocab.select("term_id", "term"), "term_id").select(
+        "term", "doc_id", "weight"
+    )
 
 
 def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:

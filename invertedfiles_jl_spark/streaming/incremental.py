@@ -47,10 +47,10 @@ def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
         term_id_col,
     )
 
-    touched = delta.postings.select("term").distinct()
+    touched = delta.postings.select("term_id").distinct()
 
-    untouched = old.postings.join(F.broadcast(touched), "term", "left_anti")
-    to_merge = old.postings.join(F.broadcast(touched), "term", "semi").unionByName(
+    untouched = old.postings.join(F.broadcast(touched), "term_id", "left_anti")
+    to_merge = old.postings.join(F.broadcast(touched), "term_id", "semi").unionByName(
         delta.postings, allowMissingColumns=True
     )
     if "ids_vb" in to_merge.columns:
@@ -58,10 +58,10 @@ def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
 
         to_merge = decompress_postings(to_merge)
     exploded = to_merge.select(
-        "term",
+        "term_id",
         F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"),
     ).select(
-        "term",
+        "term_id",
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )

@@ -122,8 +122,8 @@ def test_salting_preserves_results(corpus, texts, spark):
     cfg = IndexConfig(weighting="bm25", salt_df_threshold=50, salt_buckets=4)
     idx = build_index(corpus, cfg)
     # every hot term got split
-    n_parts = {r["term"]: r["n"] for r in
-               idx.postings.groupBy("term").count().withColumnRenamed("count", "n").collect()}
+    n_parts = {r["term_id"]: r["n"] for r in
+               idx.postings.groupBy("term_id").count().withColumnRenamed("count", "n").collect()}
     assert max(n_parts.values()) > 1
     got = _collect_topk(bm25_topk(idx, queries_df(spark), k=10))
     for qid, qtext in QUERY_SET:

@@ -20,10 +20,10 @@ def halves(documents):
 
 
 def _postings_content(idx):
-    rows = idx.postings.select("term", "salt", "doc_ids", "weights").collect()
+    rows = idx.postings.select("term_id", "salt", "doc_ids", "weights").collect()
     merged = {}
     for r in rows:  # merge salt parts per term for comparison
-        merged.setdefault(r["term"], []).extend(zip(r["doc_ids"], r["weights"]))
+        merged.setdefault(r["term_id"], []).extend(zip(r["doc_ids"], r["weights"]))
     return {t: sorted(v) for t, v in merged.items()}
 
 
@@ -82,8 +82,8 @@ def test_append_compressed_resalts_correctly(halves, spark):
         ranges: dict = {}
         for r in ix.postings.collect():
             ids = decode_posting(bytes(r["ids_vb"])).tolist()
-            merged.setdefault(r["term"], []).extend(ids)
-            ranges.setdefault(r["term"], []).append((r["salt"], min(ids), max(ids)))
+            merged.setdefault(r["term_id"], []).extend(ids)
+            ranges.setdefault(r["term_id"], []).append((r["salt"], min(ids), max(ids)))
         return merged, ranges
 
     got, got_ranges = content(idx)

@@ -21,8 +21,8 @@ def corpus(documents):
 
 
 def _postings_content(idx):
-    rows = idx.postings.select("term", "salt", "df_part", "doc_ids", "weights").collect()
-    return sorted((r["term"], r["salt"], r["df_part"], tuple(r["doc_ids"]),
+    rows = idx.postings.select("term_id", "salt", "df_part", "doc_ids", "weights").collect()
+    return sorted((r["term_id"], r["salt"], r["df_part"], tuple(r["doc_ids"]),
                    tuple(r["weights"])) for r in rows)
 
 

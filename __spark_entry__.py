@@ -391,7 +391,11 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.operators.ann import embedding_near_duplicates
 
-    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.8, n_clusters=8)
+    # threshold 0.4: the synthetic embeddings are near-orthogonal, so 0.8
+    # matches nothing and the oracle row would compare two empty sets —
+    # 0.4 yields real pairs for a meaningful value-hash gate.
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, n_clusters=8,
+                                 n_bands=16, band_width=4)
 
 
 def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +629,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fingerprint": _osql.fingerprint_sql(),
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
-        "embedding_near_dups": _osql.embedding_near_dups_sql(),
+        "embedding_near_dups": _osql.embedding_near_dups_sql(
+            threshold=0.4, n_bands=16, band_width=4),
         "media_features": _osql.media_features_sql(),
         "frame_sample_plan": _osql.frame_sample_plan_sql(),
         "rolling_fingerprint": _osql.rolling_fingerprint_sql(),

@@ -117,18 +117,68 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _sign_band_sig(i: int, band_width: int) -> F.Column:
+    """Band ``i``'s signature: the sign bits of ``band_width`` consecutive
+    embedding coordinates, as a bit-string column.  A coordinate sign is a
+    fixed (axis-aligned) random-hyperplane hash — the deterministic flavour
+    of sign-random-projection LSH, so the same expression is writable in
+    the DuckDB oracle token for token."""
+    bits = [(F.col("embedding")[d] >= 0).cast("int").cast("string")
+            for d in range(i * band_width, (i + 1) * band_width)]
+    return F.concat_ws("", *bits)
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
-                              n_clusters: int = 16) -> DataFrame:
+                              n_clusters: int = 16,
+                              n_bands: int | None = None,
+                              band_width: int = 8) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine ≥ threshold, candidates bucketed
     by IVF cluster (same-cluster pairs only — the LSH-style prune that keeps
-    this off the n² cross product at scale)."""
+    this off the n² cross product at scale).
+
+    ``n_bands=None`` pairs every same-cluster vector — exact within the
+    cluster prune, but O(c²) in the largest cluster, which is the job that
+    never finishes when one cluster goes hot at 100 TB.  ``n_bands=b``
+    adds a second-level sign-band LSH inside each cluster: vectors are
+    candidates iff they share ALL ``band_width`` coordinate sign bits in at
+    least one of ``b`` bands (OR-over-bands, exactly the MinHash banding
+    scheme in ``operators.dedup``).  Near-identical vectors agree on almost
+    every sign, so recall stays high while the quadratic blow-up is bounded
+    per (cluster, band, signature) bucket; widen ``band_width`` to shrink
+    buckets further.  Degenerate data (everything identical) still emits
+    O(c²) rows — but then the OUTPUT is O(c²); no candidate scheme beats
+    its own result size.
+    """
     assign = assign_clusters(emb, n_clusters)
     with_c = emb.join(assign, "vec_id")
-    a = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_a"),
-                      F.col("embedding").alias("a_emb"))
-    b = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_b"),
-                      F.col("embedding").alias("b_emb"))
-    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    if n_bands is None:
+        a = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("a_emb"))
+        b = with_c.select(F.col("cluster"), F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("b_emb"))
+        pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        bands = F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     _sign_band_sig(i, band_width).alias("sig"))
+            for i in range(n_bands)
+        ])
+        banded = (
+            with_c.select("cluster", "vec_id", F.explode(bands).alias("bs"))
+            .select("cluster", "vec_id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig"))
+        )
+        pa = banded.select("cluster", "band", "sig", F.col("vec_id").alias("vec_a"))
+        pb = banded.select("cluster", "band", "sig", F.col("vec_id").alias("vec_b"))
+        cand = (
+            pa.join(pb, ["cluster", "band", "sig"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()  # a pair may collide in several bands — score once
+        )
+        pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     scored = with_cosine(pairs, "a_emb", "b_emb")
     return (
         scored.filter(F.col("cos") >= threshold)

@@ -247,7 +247,37 @@ SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k
 """
 
 
-def embedding_near_dups_sql(threshold: float = 0.8, n_clusters: int = 8) -> str:
+def embedding_near_dups_sql(threshold: float = 0.8, n_clusters: int = 8,
+                            n_bands: int | None = None,
+                            band_width: int = 8) -> str:
+    """Mirrors ``operators.ann.embedding_near_duplicates`` token for token,
+    including the sign-band LSH candidate stage when ``n_bands`` is set
+    (DuckDB lists are 1-based — band i covers elements
+    ``i*band_width+1 .. (i+1)*band_width``)."""
+    if n_bands is None:
+        cand = """
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)"""
+    else:
+        band_rows = "\n  UNION ALL\n".join(
+            f"  SELECT vec_id, cluster, {i} AS band, "
+            "array_to_string(list_transform("
+            f"embedding[{i * band_width + 1}:{(i + 1) * band_width}], "
+            "x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS sig FROM wc"
+            for i in range(n_bands)
+        )
+        cand = f"""
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.cluster = b.cluster AND a.band = b.band AND a.sig = b.sig
+   AND a.vec_id < b.vec_id
+)"""
     return f"""
 WITH cents AS (
   SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
@@ -263,11 +293,12 @@ assign AS (
     FROM assign_scored
   ) WHERE r = 1
 ),
-wc AS (SELECT e.vec_id, e.embedding, a.cluster FROM embeddings e JOIN assign a USING (vec_id)),
+wc AS (SELECT e.vec_id, e.embedding, a.cluster FROM embeddings e JOIN assign a USING (vec_id)),{cand},
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_cos('a.embedding', 'b.embedding')} AS cos
-  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, {_cos('ea.embedding', 'eb.embedding')} AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """

@@ -144,6 +144,28 @@ def test_embedding_near_duplicates_verified(emb, emb_np):
         assert abs(cos - r["cos"]) < 1e-4
 
 
+def test_embedding_near_duplicates_banded_subset(emb, emb_np):
+    """Sign-band LSH candidates are a subset of the exact same-cluster
+    pairs; every emitted pair really clears the threshold; and the banding
+    keeps reasonable recall on this fixture."""
+    # threshold 0.4: the fixture embeddings are near-orthogonal — 0.8 has
+    # zero pairs, which would make every assertion vacuous
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_duplicates(emb, threshold=0.4,
+                                                n_clusters=8).collect()}
+    assert exact, "fixture must produce pairs or this test is vacuous"
+    rows = embedding_near_duplicates(emb, threshold=0.4, n_clusters=8,
+                                     n_bands=16, band_width=4).collect()
+    banded = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert banded <= exact
+    norms = np.linalg.norm(emb_np, axis=1)
+    for r in rows:
+        a, b = r["vec_a"], r["vec_b"]
+        cos = float(emb_np[a] @ emb_np[b] / (norms[a] * norms[b]))
+        assert cos >= 0.4 - 1e-6
+    assert len(banded) / len(exact) >= 0.8, (len(banded), len(exact))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -84,8 +84,11 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
     from invertedfiles_jl_spark.session import get_spark
     from invertedfiles_jl_spark.sources.synth import synth_corpus, synth_queries
 
+    # 2× cores of shuffle partitions at BOTH levels: equal wave-count per
+    # stage (one straggler-smoothing wave each), so neither level gets a
+    # load-balance advantage from the partitioning policy itself
     spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(2 * cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {}
@@ -237,6 +240,14 @@ def run_once(cpus: int) -> dict:
 HEADLINE_QPS_KEY = "bm25_sharded_100q"  # batch-serving path = headline QPS
 
 
+def _pin_cmd(cpus: int) -> list[str]:
+    """`taskset -c 0-{cpus-1}` prefix when available (Linux) — confines a
+    measurement subprocess to exactly `cpus` cores so local[N] emulates an
+    N-CPU machine instead of N task slots on a 32-core host."""
+    return (["taskset", "-c", f"0-{cpus - 1}"]
+            if shutil.which("taskset") else [])
+
+
 def main():
     if os.environ.get("SPARK_GRAFT_SCALING"):
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
@@ -279,7 +290,14 @@ def main():
                     # timed stage (see session.get_spark)
                     env["SPARK_GRAFT_JVM_STABLE"] = "1"
                     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
-                    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                    # Pin the whole subprocess tree (JVM + GC threads +
+                    # Python workers + IO threads) to exactly `cpus` cores:
+                    # unpinned, a local[4] job freeloads its GC/netty/pandas
+                    # workers onto the other 28 idle cores — a low level
+                    # faster than any real 4-CPU machine, which understates
+                    # N→4N efficiency.  taskset makes local[N] a true N-CPU
+                    # host, the faithful cluster-size proxy.
+                    p = subprocess.run(_pin_cmd(cpus) + [sys.executable, os.path.abspath(__file__)],
                                        capture_output=True, text=True, env=env)
                     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
                     if not lines:
@@ -334,6 +352,11 @@ def main():
             "Sandbox proxy for the north rule's N vs 4N executors: the SAME job on the",
             f"SAME input at local[{n_lo}] vs local[{n_hi}] (32 physical cores; the high",
             "level stays within physical cores so the proxy is not confounded by SMT).",
+            f"Each level is `taskset`-pinned to exactly its {n_lo}/{n_hi} cores, so the",
+            "JVM's GC threads, Python pandas workers and shuffle IO threads are",
+            "confined with the executors — unpinned, the low level freeloads those",
+            "helpers onto the host's idle cores and the efficiency ratio understates",
+            "true N→4N scaling (no real N-core node has 28 spare cores).",
             f"Input: FIXTURES F1 synthetic code corpus, {n_docs} docs, 5000-term Zipf",
             "vocabulary, materialized to parquet before the timed region (a real build",
             f"reads a table); {nq}-query BM25 top-10 batches.  Query timings are medians",

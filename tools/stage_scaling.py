@@ -30,7 +30,7 @@ from invertedfiles_jl_spark.session import get_spark
 
 cpus = %(cpus)d
 spark = get_spark(f"stagescale-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=max(2 * cpus, 8))
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(%(corpus)r)
 # warm-up small build (codegen + python workers), same as bench protocol
@@ -58,9 +58,14 @@ def run_level(cpus: int, corpus_path: str) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_JVM_STABLE"] = "1"
         env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+        # pin JVM+GC+python workers to exactly `cpus` cores — local[N] as a
+        # true N-CPU machine (same rationale as bench.py's scaling branch)
+        pin = (["taskset", "-c", f"0-{cpus - 1}"]
+               if shutil.which("taskset") and not os.environ.get("STAGE_NOPIN")
+               else [])
         p = subprocess.run(
-            [sys.executable, "-c",
-             CHILD % {"repo": REPO, "cpus": cpus, "corpus": corpus_path, "tmp": tmp}],
+            pin + [sys.executable, "-c",
+                   CHILD % {"repo": REPO, "cpus": cpus, "corpus": corpus_path, "tmp": tmp}],
             capture_output=True, text=True, env=env)
         for line in p.stdout.splitlines():
             if line.startswith("STAGEJSON "):

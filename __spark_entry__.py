@@ -545,7 +545,12 @@ def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_vector_index(pairs, cfg)
     sample = pairs.filter(F.col("doc_id") < 50)
     res = allknn(idx, sample, k=3, rank_round=6)
-    return res.select("query_id", "rank", "doc_id", F.round("dist", 5).alias("dist"))
+    # "+ 0.0" mirrors the oracle's negative-zero canonicalization (IEEE
+    # -0.0 + 0.0 == +0.0) so both sides hash identically byte-for-byte.
+    return res.select(
+        "query_id", "rank", "doc_id",
+        (F.round("dist", 5) + F.lit(0.0)).alias("dist"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -652,7 +657,10 @@ ranked AS (
               ORDER BY round(dist, 6) ASC, doc_id ASC) AS INTEGER) AS rank
   FROM dots
 )
-SELECT query_id, rank, doc_id, round(dist, 5) AS dist
+-- "+ 0.0" canonicalizes IEEE negative zero: DuckDB's round(1.0 - sum(w*w), 5)
+-- lands on -0.0 for self-matches where Spark emits +0.0; values are equal but
+-- the driver's value-hash compares bytes (-0.0 + 0.0 == +0.0 in IEEE 754).
+SELECT query_id, rank, doc_id, round(dist, 5) + 0.0 AS dist
 FROM ranked WHERE rank <= 3
 """,
         "incremental_postings": f"WITH {_BASE_CTES} SELECT DISTINCT term, doc_id FROM tf",

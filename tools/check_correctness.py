@@ -49,10 +49,16 @@ for name, fn in qs.items():
             for c in sdf.columns:
                 a, b = sdf[c].to_numpy(), odf[c].to_numpy()
                 if np.issubdtype(sdf[c].dtype, np.floating) or np.issubdtype(odf[c].dtype, np.floating):
-                    ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
+                    af, bf = a.astype(float), b.astype(float)
+                    # byte-level compare like the driver's value-hash: catches
+                    # -0.0 vs +0.0 (equal under ==) and NaN-pattern diffs
+                    ok = af.tobytes() == bf.tobytes()
                     if not ok:
-                        exact = (a.astype(float) == b.astype(float))
-                        detail = f"col {c}: {int((~exact).sum())} diffs, max {np.abs(a.astype(float)-b.astype(float)).max():.2e}"
+                        exact = af == bf
+                        nz = int((np.signbit(af) != np.signbit(bf)).sum())
+                        detail = (f"col {c}: {int((~exact).sum())} value diffs, "
+                                  f"max {np.abs(af - bf).max():.2e}, "
+                                  f"{nz} sign-bit (±0.0) diffs")
                         match = False
                         break
                 else:

@@ -51,6 +51,41 @@ def test_posting_roundtrip_property(idset):
     np.testing.assert_array_equal(decode_posting(encode_posting(ids)), ids)
 
 
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=(1 << 40) - 1),
+                        min_size=0, max_size=50),
+                min_size=0, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_batch_roundtrip_matches_per_list(idsets):
+    """Batch-wide encode/decode ≡ per-list encode/decode, including empty
+    lists at any position in the batch."""
+    from invertedfiles_jl_spark.operators.codec import (
+        decode_postings_batch,
+        encode_postings_batch,
+    )
+
+    lists = [np.array(sorted(s), dtype=np.uint64) for s in idsets]
+    bufs = encode_postings_batch(lists)
+    assert bufs == [encode_posting(a) for a in lists]
+    back = decode_postings_batch(bufs)
+    assert len(back) == len(lists)
+    for got, want in zip(back, lists):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_batch_many_short_tail_lists():
+    """The 100-TB shape the batch path exists for: millions of tiny lists —
+    here 50k singletons round-trip through ONE numpy pass."""
+    from invertedfiles_jl_spark.operators.codec import (
+        decode_postings_batch,
+        encode_postings_batch,
+    )
+
+    lists = [np.array([i * 37], dtype=np.uint64) for i in range(50_000)]
+    back = decode_postings_batch(encode_postings_batch(lists))
+    for got, want in zip(back, lists):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_dataframe_wrappers(spark):
     from invertedfiles_jl_spark.operators.codec import compress_postings, decompress_postings
 

@@ -11,9 +11,16 @@ A query batch then becomes:
 
     postings (sharded, co-located)
       ⋉ broadcast(query term_ids)          prune unmatched term rows, JVM-side
-      → mapInPandas (co-located serve)     full scores + per-partition top-k
-        | groupBy(shard).applyInPandas     (safe path for arbitrary layouts)
-      → window top-k over S×Q×k rows       final merge (tiny)
+      → mapInPandas (co-located serve)     MaxScore+block-max pruned scores
+        | groupBy(shard).applyInPandas       + per-partition top-k (safe path
+      → window top-k over S×Q×k rows          for arbitrary layouts); final
+                                              merge window is tiny
+
+The per-shard kernel shares ``wand.maxscore_pool``: each query's matched
+sub-lists are processed in upper-bound order against the query's shard-local
+bounded pool, so low-impact lists are mostly block-skipped instead of fully
+scored — per-shard work is no longer Σ matched-df (the shard carries the
+``block_max`` metadata through ``shard_postings`` for exactly this).
 
 Co-location contract: the kernel needs every doc's rows inside one task.
 ``load_shards`` (serving mode) pays ONE repair shuffle per session —
@@ -60,12 +67,15 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
     """Re-layout postings into ``n_shards`` doc-range shards.
 
     Every term's list is split into doc-range-disjoint sub-lists (the salting
-    scheme applied universally), then grouped per (shard, term_id).  Handles
-    compressed indexes (``ids_vb``) by decoding before the re-layout.
-    Build-time cost: one shuffle of the index.
-    Returns postings(shard, term_id, doc_ids, weights, max_weight).
+    scheme applied universally), then grouped per (shard, term_id), carrying
+    the list-max AND per-block ``block_max`` skip metadata (recomputed per
+    sub-list — the split changes block boundaries) so the serving kernel can
+    prune.  Handles compressed indexes (``ids_vb``) by decoding before the
+    re-layout.  Build-time cost: one shuffle of the index.
+    Returns postings(shard, term_id, doc_ids, weights, max_weight, block_max).
     """
     max_doc = int(index.stats["n_docs"])
+    bs = int(index.cfg.block_size)
     postings = index.postings
     if "ids_vb" in postings.columns:
         from invertedfiles_jl_spark.operators.codec import decompress_postings
@@ -91,48 +101,80 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
             F.col("plist.doc_id").alias("doc_ids"),
             F.col("plist.weight").alias("weights"),
             F.array_max(F.col("plist.weight")).alias("max_weight"),
+            F.expr(
+                f"transform(sequence(0, int((size(plist) - 1) / {bs})), "
+                f"b -> array_max(slice(plist.weight, b * {bs} + 1, {bs})))"
+            ).alias("block_max"),
         )
         .repartition(n_shards, "shard")
     )
 
 
-def _accumulate(acc_ids: dict, acc_contrib: dict, qmap: dict, pdf) -> None:
+def _gather(per_q: dict, qmap: dict, pdf) -> None:
+    """Bucket the batch's matched posting rows per query: per_q[qid] =
+    (qws, id_arrays, w_arrays, bm_arrays, maxws) — the argument shape of
+    ``wand.maxscore_pool``.  Arrays convert to numpy once per ROW and are
+    shared (not copied) across the queries matching the row's term."""
     tids = pdf["term_id"].to_numpy()
     ids_col = pdf["doc_ids"].to_numpy()
     w_col = pdf["weights"].to_numpy()
+    mw_col = pdf["max_weight"].to_numpy(dtype=np.float64)
+    bm_col = pdf["block_max"].to_numpy() if "block_max" in pdf.columns else None
     for i in range(len(pdf)):
         hit = qmap.get(int(tids[i]))
         if hit is None:
             continue
         ids = np.asarray(ids_col[i], dtype=np.int64)
         ws = np.asarray(w_col[i], dtype=np.float64)
+        bm = (np.asarray(bm_col[i], dtype=np.float64)
+              if bm_col is not None and bm_col[i] is not None else None)
+        mw = float(mw_col[i])
         for qid, qw in zip(*hit):
-            acc_ids.setdefault(int(qid), []).append(ids)
-            acc_contrib.setdefault(int(qid), []).append(qw * ws)
+            b = per_q.setdefault(int(qid), ([], [], [], [], []))
+            b[0].append(float(qw))
+            b[1].append(ids)
+            b[2].append(ws)
+            b[3].append(bm)
+            b[4].append(mw)
 
 
-def _emit_topk(acc_ids: dict, acc_contrib: dict, k: int, rank_round):
+def _emit_topk(per_q: dict, k: int, rank_round, block_size: int,
+               stats: "dict | None" = None):
+    """Per query: MaxScore + block-max prune (``wand.maxscore_pool``) over
+    its gathered lists, then the shard-local top-k cut under the SAME total
+    order as the final window (HALF_UP-rounded score desc, doc_id asc).
+    Rank-safe: the pool is guaranteed to contain every doc whose rounded
+    score can reach the rounded kth, with exact scores."""
     import pandas as pd
 
-    if not acc_ids:
+    from invertedfiles_jl_spark.operators.wand import maxscore_pool
+
+    if not per_q:
         return pd.DataFrame(
             {"query_id": np.empty(0, np.int64),
              "doc_id": np.empty(0, np.int64),
              "score": np.empty(0, np.float64)}
         )
     out_q, out_d, out_s = [], [], []
-    for qid, id_chunks in acc_ids.items():
-        all_ids = np.concatenate(id_chunks)
-        all_sc = np.concatenate(acc_contrib[qid])
-        uids, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.bincount(inv, weights=all_sc, minlength=len(uids))
+    for qid, (qws, idl, wl, bml, mwl) in per_q.items():
+        uids, scores, st = maxscore_pool(qws, idl, wl, bml, mwl,
+                                         k, rank_round, block_size)
+        if stats is not None:
+            stats["pruned"] += st["pruned"]
+            stats["block_skipped"] += st["block_skipped"]
+        if uids.size == 0:
+            continue
         key = _round_half_up(scores, rank_round) if rank_round is not None else scores
         sel = np.lexsort((uids, -key))[:k]  # same total order as topk()
         out_q.append(np.full(len(sel), qid, dtype=np.int64))
         out_d.append(uids[sel])
         out_s.append(scores[sel])
-    import pandas as pd
-
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": np.empty(0, np.int64),
+             "doc_id": np.empty(0, np.int64),
+             "score": np.empty(0, np.float64)}
+        )
     return pd.DataFrame(
         {"query_id": np.concatenate(out_q),
          "doc_id": np.concatenate(out_d),
@@ -140,39 +182,37 @@ def _emit_topk(acc_ids: dict, acc_contrib: dict, k: int, rank_round):
     )
 
 
-def _shard_kernel(qmap_bc, k: int, rank_round):
-    """applyInPandas kernel (safe path): one call per shard group —
-    accumulate per-query scores over the shard's posting rows, emit the
-    shard's top-k per query.
+def _shard_kernel(qmap_bc, k: int, rank_round, block_size: int):
+    """applyInPandas kernel (safe path): one call per shard group — gather
+    the shard's matched rows per query, MaxScore-prune, emit the shard's
+    top-k per query.
 
     ``qmap_bc``: sc.broadcast of {term_id → (qids int64 array, qws float64
     array)} — shipped once per executor, not per task.  All arithmetic is
-    numpy over whole posting arrays; Python touches O(#rows) objects.
+    numpy over whole posting arrays; Python touches O(#rows·#matching
+    queries) objects, and the block-max bounds skip most entries of
+    low-impact lists once a query's shard-local pool is full.
     """
     def kernel(pdf):
-        qmap = qmap_bc.value
-        acc_i: dict = {}
-        acc_c: dict = {}
-        _accumulate(acc_i, acc_c, qmap, pdf)
-        return _emit_topk(acc_i, acc_c, k, rank_round)
+        per_q: dict = {}
+        _gather(per_q, qmap_bc.value, pdf)
+        return _emit_topk(per_q, k, rank_round, block_size)
 
     return kernel
 
 
-def _partition_kernel(qmap_bc, k: int, rank_round):
-    """mapInPandas kernel (co-located fast path): accumulate across ALL of
+def _partition_kernel(qmap_bc, k: int, rank_round, block_size: int):
+    """mapInPandas kernel (co-located fast path): gather across ALL of
     the partition's Arrow batches, emit one top-k per query per PARTITION.
     Correct whenever every doc's rows live inside one partition — which
     ``repartition(n, "shard")`` (each partition = a union of whole shards)
     guarantees; per-partition top-k under the shared total order is then
     rank-safe exactly like the per-shard cut."""
     def kernel(batches):
-        qmap = qmap_bc.value
-        acc_i: dict = {}
-        acc_c: dict = {}
+        per_q: dict = {}
         for pdf in batches:
-            _accumulate(acc_i, acc_c, qmap, pdf)
-        yield _emit_topk(acc_i, acc_c, k, rank_round)
+            _gather(per_q, qmap_bc.value, pdf)
+        yield _emit_topk(per_q, k, rank_round, block_size)
 
     return kernel
 
@@ -246,14 +286,15 @@ def sharded_topk(
     # JVM-side semi-join prune: only matched term rows reach Arrow.
     qterms = spark.createDataFrame([(t,) for t in qmap], "term_id long")
     pruned = sharded.join(F.broadcast(qterms), "term_id", "left_semi")
+    block_size = int(index.cfg.block_size)
     if assume_colocated:
         partials = pruned.mapInPandas(
-            _partition_kernel(qmap_bc, k, rank_round), _OUT_SCHEMA
+            _partition_kernel(qmap_bc, k, rank_round, block_size), _OUT_SCHEMA
         )
     else:
         # arbitrary layout: one groupBy(shard) shuffle of the matched rows
         # restores co-location before the kernel
         partials = pruned.groupBy("shard").applyInPandas(
-            _shard_kernel(qmap_bc, k, rank_round), _OUT_SCHEMA
+            _shard_kernel(qmap_bc, k, rank_round, block_size), _OUT_SCHEMA
         )
     return topk(partials, k, "score", ascending=False, rank_round=rank_round)

@@ -41,34 +41,20 @@ from invertedfiles_jl_spark.operators.search import query_terms
 _OUT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 
-def _maxscore_group(pdf, k: int, rank_round, block_size: int = 128,
-                    return_stats: bool = False):
-    """Score one query's matched posting lists; return top-k rows.
-
-    ``return_stats=True`` additionally returns {"pruned": total entries
-    dropped by any bound check, "block_skipped": entries skipped wholesale at
-    block granularity without per-entry work} — the pruning metric tests
-    assert on these.
+def maxscore_pool(qws, id_arrays, w_arrays, bm_arrays, maxw,
+                  k: int, rank_round, block_size: int = 128):
+    """Term-at-a-time MaxScore with block-max skipping over one query's
+    matched lists (arrays already materialized).  Returns
+    ``(acc_ids, acc_scores, stats)`` — the surviving candidate pool with
+    EXACT scores; every doc whose rounded score could reach the rounded
+    kth score is guaranteed in the pool (see module docstring for the
+    margin proof).  Shared by the per-query-group kernel
+    (:func:`wand_topk`) and the doc-sharded kernel
+    (``sharded.sharded_topk``), whose per-shard cut needs exactly this
+    guarantee for rank-safety.
     """
-    import pandas as pd
-
-    qid = int(pdf["query_id"].iloc[0])
-    qws = pdf["qw"].to_numpy(dtype=np.float64)
-    has_bm = "block_max" in pdf.columns
-    id_arrays, w_arrays, bm_arrays = [], [], []
-    for i in range(len(pdf)):
-        if "ids_vb" in pdf.columns and pdf["ids_vb"].iloc[i] is not None:
-            from invertedfiles_jl_spark.operators.codec import decode_posting
-
-            ids = decode_posting(bytes(pdf["ids_vb"].iloc[i])).astype(np.int64)
-        else:
-            ids = np.asarray(pdf["doc_ids"].iloc[i], dtype=np.int64)
-        id_arrays.append(ids)
-        w_arrays.append(np.asarray(pdf["weights"].iloc[i], dtype=np.float64))
-        bm = pdf["block_max"].iloc[i] if has_bm else None
-        bm_arrays.append(np.asarray(bm, dtype=np.float64) if bm is not None else None)
-    maxw = pdf["max_weight"].to_numpy(dtype=np.float64)
-
+    qws = np.asarray(qws, dtype=np.float64)
+    maxw = np.asarray(maxw, dtype=np.float64)
     bounds = qws * maxw
     order = np.argsort(-bounds, kind="stable")
     sbounds = bounds[order]
@@ -133,11 +119,46 @@ def _maxscore_group(pdf, k: int, rank_round, block_size: int = 128,
         if len(acc_scores) >= k:
             theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
 
+    return acc_ids, acc_scores, {"pruned": pruned, "block_skipped": block_skipped}
+
+
+def _maxscore_group(pdf, k: int, rank_round, block_size: int = 128,
+                    return_stats: bool = False):
+    """Score one query's matched posting lists; return top-k rows.
+
+    ``return_stats=True`` additionally returns {"pruned": total entries
+    dropped by any bound check, "block_skipped": entries skipped wholesale at
+    block granularity without per-entry work} — the pruning metric tests
+    assert on these.
+    """
+    import pandas as pd
+
+    qid = int(pdf["query_id"].iloc[0])
+    qws = pdf["qw"].to_numpy(dtype=np.float64)
+    has_bm = "block_max" in pdf.columns
+    id_arrays, w_arrays, bm_arrays = [], [], []
+    for i in range(len(pdf)):
+        if "ids_vb" in pdf.columns and pdf["ids_vb"].iloc[i] is not None:
+            from invertedfiles_jl_spark.operators.codec import decode_posting
+
+            ids = decode_posting(bytes(pdf["ids_vb"].iloc[i])).astype(np.int64)
+        else:
+            ids = np.asarray(pdf["doc_ids"].iloc[i], dtype=np.int64)
+        id_arrays.append(ids)
+        w_arrays.append(np.asarray(pdf["weights"].iloc[i], dtype=np.float64))
+        bm = pdf["block_max"].iloc[i] if has_bm else None
+        bm_arrays.append(np.asarray(bm, dtype=np.float64) if bm is not None else None)
+    maxw = pdf["max_weight"].to_numpy(dtype=np.float64)
+
+    acc_ids, acc_scores, stats = maxscore_pool(
+        qws, id_arrays, w_arrays, bm_arrays, maxw, k, rank_round, block_size
+    )
+
     if acc_ids.size == 0:
         out = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"]).astype(
             {"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"}
         )
-        return (out, {"pruned": pruned, "block_skipped": block_skipped}) if return_stats else out
+        return (out, stats) if return_stats else out
     key = np.round(acc_scores, rank_round) if rank_round is not None else acc_scores
     order_sel = np.lexsort((acc_ids, -key))[:k]
     out = pd.DataFrame(
@@ -148,7 +169,7 @@ def _maxscore_group(pdf, k: int, rank_round, block_size: int = 128,
             "score": acc_scores[order_sel],
         }
     )
-    return (out, {"pruned": pruned, "block_skipped": block_skipped}) if return_stats else out
+    return (out, stats) if return_stats else out
 
 
 def wand_topk(

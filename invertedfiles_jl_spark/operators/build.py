@@ -75,7 +75,11 @@ def with_term_id(df: DataFrame) -> DataFrame:
     """Replace the string ``term`` with the fixed-width ``term_id`` BEFORE
     the posting shuffle: the big exchange and the postings table carry an
     8-byte key instead of a variable-width string (the string survives only
-    in ``vocab``, the human-facing dimension table)."""
+    in ``vocab``, the human-facing dimension table).  No-op when the input
+    already carries ``term_id`` (the tf stage precomputes it so the postings
+    stage's scan can prune the string column entirely)."""
+    if "term_id" in df.columns:
+        return df.drop("term") if "term" in df.columns else df
     return df.withColumn("term_id", term_id_col(F.col("term"))).drop("term")
 
 
@@ -103,7 +107,12 @@ def doc_term_freqs(corpus: DataFrame, cfg: IndexConfig,
 
     corpus = corpus.repartition(F.col(doc_col))
     toks = exploded_terms(corpus, "doc_id", doc_col, content_col, cfg)
-    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # precompute the fixed-width join key here: the persisted tf table then
+    # serves the postings stage with a string-free column-pruned scan
+    # (doc_id, term_id, tf) — the string column is decoded only by the
+    # vocab stage, the one consumer that needs it
+    return tf.withColumn("term_id", term_id_col(F.col("term")))
 
 
 def docs_table(tf: DataFrame, corpus: DataFrame,
@@ -147,18 +156,21 @@ def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig
     (weights dropped, /root/reference/src/binvfile.jl:60-62).
     """
     wt = cfg.weight_dtype
+    # prefer the precomputed fixed-width key: the tf scan then prunes the
+    # string column entirely (ReadSchema without `term`)
+    key = "term_id" if "term_id" in tf.columns else "term"
     if cfg.weighting == "binary":
-        weighted = tf.select("doc_id", "term", F.lit(1.0).cast(wt).alias("weight"))
+        weighted = tf.select("doc_id", key, F.lit(1.0).cast(wt).alias("weight"))
     elif cfg.weighting == "normcosine":
         weighted = tf.join(docs.select("doc_id", "norm"), "doc_id").select(
-            "doc_id", "term",
+            "doc_id", key,
             (F.col("tf") / F.col("norm")).cast(wt).alias("weight"),
         )
     elif cfg.weighting == "bm25":
         k1, b = float(cfg.bm25_k1), float(cfg.bm25_b)
         avgdl = stats["avg_doc_len"] or 1.0
         weighted = tf.join(docs.select("doc_id", "doc_len"), "doc_id").select(
-            "doc_id", "term",
+            "doc_id", key,
             (
                 F.col("tf") * F.lit(k1 + 1.0)
                 / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
@@ -179,6 +191,11 @@ def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
     ⌊doc_id·S/(max+1)⌋, so per-bucket sorted sub-lists concatenate in bucket
     order into one globally doc-sorted list — the invariant delta-gap
     encoding and the k-way merge both need.
+
+    PRECONDITION: doc_ids dense in [0, max_doc] (``sources.corpus.
+    assign_doc_ids`` guarantees it).  Sparse/hash-assigned ids would pile
+    most docs into the top bucket and silently un-salt the index, so
+    ``range_bucket`` raises instead.
     """
     return (
         weighted.join(F.broadcast(hot_terms.select("term_id", F.lit(True).alias("is_hot"))),
@@ -187,13 +204,28 @@ def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
             "salt",
             F.when(
                 F.col("is_hot").isNotNull(),
-                F.least(
-                    F.lit(cfg.salt_buckets - 1),
-                    (F.col("doc_id") * cfg.salt_buckets / F.lit(max_doc + 1)).cast("int"),
-                ),
+                range_bucket(cfg.salt_buckets, max_doc),
             ).otherwise(F.lit(0)),
         )
         .drop("is_hot")
+    )
+
+
+def range_bucket(n_buckets: int, max_doc: int) -> F.Column:
+    """⌊doc_id·n/(max+1)⌋ with a loud failure on out-of-range ids: a doc_id
+    beyond ``max_doc`` means the dense-id precondition is broken and every
+    such doc would land in one bucket (correct results, silently skewed
+    layout) — raise instead of un-salting."""
+    raw = (F.col("doc_id") * n_buckets / F.lit(max_doc + 1)).cast("int")
+    return F.when(
+        (F.col("doc_id") >= 0) & (raw < n_buckets), raw
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"doc_id out of dense range [0, {max_doc}] "
+                  "(salted/sharded layouts require assign_doc_ids-style "
+                  "dense ids): "),
+            F.col("doc_id").cast("string"),
+        )).cast("int")
     )
 
 

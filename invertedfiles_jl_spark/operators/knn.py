@@ -129,16 +129,72 @@ def searchbatch_set(index: InvertedIndex, qsets: DataFrame, k: int = 10,
 
 
 def allknn(index: InvertedIndex, pairs: DataFrame, k: int = 3,
-           rank_round: int | None = None) -> DataFrame:
+           rank_round: int | None = None, df_cap: int | None = None) -> DataFrame:
     """k nearest neighbors of every indexed doc against the index itself
     (/root/reference/test/invfiles.jl:97).  Candidates restricted to docs
     sharing ≥1 term; self-match included at distance 0 like the reference's
     exhaustive oracle.  Query side = corpus ⇒ shuffle join, never broadcast;
     postings are exploded to rows pre-join so AQE skew splitting bounds the
     per-task footprint of Zipfian hot terms (see ``_join_matched``).
+
+    ``df_cap`` — the 100-TB escape from the exact plan's Σ df² join size:
+    candidate PAIRS are generated only from terms with df ≤ df_cap (standard
+    prefix filtering), then every candidate pair is re-scored EXACTLY over
+    all shared terms (hot ones included), so emitted distances are identical
+    to the exact plan's.  Candidate-join rows shrink from Σ df² to
+    Σ_{df ≤ cap} df².  Recall bound: a neighbor is missed iff the pair
+    shares ONLY terms with df > df_cap — on Zipfian text such pairs share
+    at least one body term in practice; the miss set is exactly the pairs
+    whose overlap is confined to the df > cap head.  ``df_cap=None`` (the
+    default) is the exact plan.
     """
     qpairs = pairs.select(
         F.col("doc_id").alias("query_id"), "term", F.col("weight").alias("qw")
     )
-    return searchbatch_cosine(index, qpairs, k, broadcast_queries=False,
-                              rank_round=rank_round)
+    if df_cap is None:
+        return searchbatch_cosine(index, qpairs, k, broadcast_queries=False,
+                                  rank_round=rank_round)
+    cand = allknn_candidates(index, qpairs, df_cap) \
+        .select("query_id", "doc_id").distinct()
+    # exact re-score of candidate pairs over ALL shared terms: restrict the
+    # full (term_id, doc_id)-keyed posting rows to candidate pairs
+    qp = qpairs.withColumn("term_id", term_id_col(F.col("term"))).drop("term")
+    flat = _flat_postings(index)
+    scored = (
+        cand.join(qp, "query_id")
+        .join(flat, ["term_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg((F.lit(1.0) - F.sum(F.col("qw") * F.col("weight"))).alias("dist"))
+    )
+    return topk(scored, k, "dist", ascending=True, rank_round=rank_round)
+
+
+def _flat_postings(index: InvertedIndex) -> DataFrame:
+    """postings exploded to (term_id, doc_id, weight) rows."""
+    postings = index.postings
+    if "ids_vb" in postings.columns:
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        postings = decompress_postings(postings)
+    return postings.select(
+        "term_id", F.explode(F.arrays_zip("doc_ids", "weights")).alias("e")
+    ).select(
+        "term_id",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.weights").alias("weight"),
+    )
+
+
+def allknn_candidates(index: InvertedIndex, qpairs: DataFrame,
+                      df_cap: int) -> DataFrame:
+    """Prefix-filtered candidate pairs: (query_id, doc_id, term_id) rows of
+    the candidate-generation join, restricted to terms with df ≤ df_cap on
+    BOTH sides.  Exposed separately so tests can assert the join-size bound
+    (rows ≤ Σ_{df ≤ cap} df²  when the query side is the corpus itself)."""
+    rare = index.vocab.filter(F.col("df") <= df_cap).select("term_id")
+    qp = qpairs.withColumn("term_id", term_id_col(F.col("term"))).drop("term")
+    flat_rare = _flat_postings(index).join(rare, "term_id", "left_semi")
+    qp_rare = qp.join(rare, "term_id", "left_semi")
+    return flat_rare.join(
+        qp_rare.select("query_id", "term_id"), "term_id"
+    ).select("query_id", "doc_id", "term_id")

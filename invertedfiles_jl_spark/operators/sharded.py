@@ -48,7 +48,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from invertedfiles_jl_spark.operators.build import InvertedIndex
+from invertedfiles_jl_spark.operators.build import InvertedIndex, range_bucket
 from invertedfiles_jl_spark.operators.search import query_terms, topk
 
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
@@ -88,10 +88,9 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
-    shard = F.least(
-        F.lit(n_shards - 1),
-        (F.col("doc_id") * n_shards / F.lit(max_doc + 1)).cast("int"),
-    )
+    # raises on sparse/out-of-range ids instead of silently piling docs
+    # into the top shard (dense-id precondition, see build.range_bucket)
+    shard = range_bucket(n_shards, max_doc)
     return (
         flat.withColumn("shard", shard)
         .groupBy("shard", "term_id")

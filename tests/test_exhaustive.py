@@ -128,3 +128,64 @@ def test_allknn_skewed_hot_term(spark):
         order = np.lexsort((np.arange(n), np.round(dists, 6)))[:3]
         mine = [d for _, d, _ in sorted(got[q])]
         assert mine == order.tolist(), f"q{q}: {mine} vs {order.tolist()}"
+
+
+def test_allknn_df_cap_bounds_candidates_and_rescoring_is_exact(spark):
+    """The df-capped allknn (prefix filtering): hot terms are excluded from
+    CANDIDATE GENERATION (join rows ≤ Σ_{df ≤ cap} df² — the 100-TB bound)
+    but still contribute to the RE-SCORED distances, so every emitted
+    (pair, dist) matches the exact plan.  On this fixture every near pair
+    shares a rare term, so the result set is identical too."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.knn import (
+        allknn,
+        allknn_candidates,
+        build_vector_index,
+    )
+
+    n, dim = 120, 6
+    rows = []
+    for d in range(n):
+        rows.extend([(d, 0, 1.0), (d, 1 + d % dim, 2.0 + (d % 7))])
+    pairs = spark.createDataFrame(rows, "doc_id long, term long, weight double")
+    nrm = pairs.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("weight") ** 2)).alias("nn"))
+    npairs = pairs.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("weight") / F.col("nn")).alias("weight"))
+    idx = build_vector_index(npairs, IndexConfig(weighting="normcosine",
+                                                 weight_dtype="double"))
+    cap = 30  # each rare term has df = n/dim = 20 ≤ cap; hot term df = 120 > cap
+
+    # 1. join-size bound: candidate rows == Σ_{df ≤ cap} df·qdf = Σ df²
+    #    (query side = corpus) and the hot term generates nothing
+    qpairs = npairs.select(F.col("doc_id").alias("query_id"), "term",
+                           F.col("weight").alias("qw"))
+    cand = allknn_candidates(idx, qpairs, df_cap=cap)
+    dfs = {r["term"]: r["df"] for r in idx.vocab.collect()}
+    bound = sum(min(d, cap) ** 2 for d in dfs.values() if d <= cap)
+    assert cand.count() == bound
+    assert bound < sum(d ** 2 for d in dfs.values())  # the cap actually cut
+
+    # 2. rank AND distance identity vs the exact plan (every near pair here
+    #    shares a rare term, so nothing is missed)
+    exact = {(r["query_id"], r["rank"]): (r["doc_id"], r["dist"])
+             for r in allknn(idx, npairs, k=3, rank_round=6).collect()}
+    capped = {(r["query_id"], r["rank"]): (r["doc_id"], r["dist"])
+              for r in allknn(idx, npairs, k=3, rank_round=6, df_cap=cap).collect()}
+    assert capped.keys() == exact.keys()
+    for key in exact:
+        assert capped[key][0] == exact[key][0], key
+        assert np.isclose(capped[key][1], exact[key][1]), key
+
+    # 3. the documented recall bound: a pair sharing ONLY hot terms is
+    #    invisible to candidate generation
+    solo = spark.createDataFrame([(500, 0, 1.0), (501, 0, 1.0)],
+                                 "doc_id long, term long, weight double")
+    idx2 = build_vector_index(npairs.unionByName(solo),
+                              IndexConfig(weighting="normcosine",
+                                          weight_dtype="double"))
+    qp2 = solo.select(F.col("doc_id").alias("query_id"), "term",
+                      F.col("weight").alias("qw"))
+    assert allknn_candidates(idx2, qp2, df_cap=cap).count() == 0

@@ -165,6 +165,19 @@ def test_sharded_kernel_block_skips():
         assert np.isclose(s, gs)
 
 
+def test_shard_postings_sparse_ids_fail_loudly(spark, corpus):
+    """Doc-range bucketing assumes dense 0..N ids (assign_doc_ids
+    contract); sparse ids would silently collapse into the top shard —
+    the layout must raise instead (VERDICT r2 What's-wrong #5)."""
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    sparse = corpus.select((F.col("doc_id") * 1000).alias("doc_id"), "content")
+    idx = build_index(sparse, IndexConfig(weighting="bm25"))
+    with pytest.raises(SparkRuntimeException, match="dense"):
+        shard_postings(idx, 8).count()
+
+
 def test_sharded_fast_path_load_shards(spark, corpus, tmp_path):
     """Serving fast path: load_shards (repair shuffle + cache) +
     assume_colocated=True — rank-identity still holds."""

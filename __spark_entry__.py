@@ -398,6 +398,19 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_bands=16, band_width=4)
 
 
+def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (n_bands=None) same-cluster near-dup path, gated against its
+    own oracle: together with the banded row this pins BOTH sides of the
+    lossy banding stage, so a banding regression surfaces as a diff between
+    the two rows' outputs (the banded set must stay a high-recall subset —
+    pytest test_embedding_near_duplicates_banded_subset enforces the
+    ≥0.8-recall floor on the same pair of plans)."""
+    from invertedfiles_jl_spark.operators.ann import embedding_near_duplicates
+
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4,
+                                     n_clusters=8, n_bands=None)
+
+
 def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-then-append build, flattened postings — oracle is the FULL-build
     posting relation, proving append ≡ rebuild."""
@@ -587,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_emb_near_dups,
+        "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "incremental_postings": _q_incremental_postings,
         "index_stats": _q_index_stats,
         "search_cost": _q_search_cost,
@@ -636,6 +650,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_ivf": _osql.ann_ivf_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
+        "embedding_near_dups_exact": _osql.embedding_near_dups_sql(
+            threshold=0.4, n_bands=None),
         "media_features": _osql.media_features_sql(),
         "frame_sample_plan": _osql.frame_sample_plan_sql(),
         "rolling_fingerprint": _osql.rolling_fingerprint_sql(),

@@ -5,12 +5,12 @@ Two paths, same contract:
     double-precision JVM fold (zip_with + aggregate — whole-stage codegen,
     no Python).  The correctness baseline; O(Q·N·d).
   * ``ivf_topk`` — the scale path: IVF with deterministic seed centroids
-    (the first ``n_clusters`` vectors), one-shot assignment, query probes
-    the ``nprobe`` nearest clusters.  At 100 TB the assignment is one
-    broadcast join + argmax and the probe prunes the candidate set by
-    ~n_clusters/nprobe; recall is data-dependent (pytest pins it on the
-    fixture).  Deterministic ⇒ DuckDB-oracle-checkable (same algorithm, not
-    just same answer).
+    (the first ``n_clusters`` vectors) refined by ``lloyd_iters`` Lloyd
+    steps (relational assign → per-dim mean), query probes the ``nprobe``
+    nearest clusters.  At 100 TB the assignment is one broadcast join +
+    argmax and the probe prunes the candidate set by ~n_clusters/nprobe;
+    recall is pinned by pytest on a clustered fixture.  Deterministic ⇒
+    DuckDB-oracle-checkable (same algorithm, not just same answer).
 """
 
 from __future__ import annotations
@@ -60,12 +60,16 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def assign_clusters(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
-    """(vec_id, cluster) — nearest (max-cosine) of the first n_clusters
-    vectors, deterministic tie-break by centroid id."""
-    cents = emb.filter(F.col("vec_id") < n_clusters).select(
+def seed_centroids(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
+    """Deterministic seeds: the first ``n_clusters`` vectors."""
+    return emb.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("c_emb")
     )
+
+
+def assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster) — nearest (max-cosine) centroid, deterministic
+    tie-break by (round(cos, 9) desc, cluster asc)."""
     j = emb.select("vec_id", F.col("embedding").alias("d_emb")).crossJoin(F.broadcast(cents))
     scored = with_cosine(j, "c_emb", "d_emb")
     w = Window.partitionBy("vec_id").orderBy(
@@ -78,15 +82,48 @@ def assign_clusters(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
     )
 
 
+def lloyd_refine(emb: DataFrame, cents: DataFrame, iters: int = 1) -> DataFrame:
+    """``iters`` Lloyd steps: assign → per-cluster per-dimension mean.
+
+    Everything stays relational (posexplode → partial+final avg →
+    re-assemble the centroid array ordered by dimension), deterministic,
+    and therefore DuckDB-oracle-mirrorable (``plans.oracles.ann_ivf_sql``).
+    Empty clusters drop out (both engines drop them identically).  At
+    scale each step is one broadcast-assign plus one n·d-row aggregation
+    with map-side combine — no collect.
+    """
+    for _ in range(iters):
+        a = assign_to(emb, cents)
+        memb = a.join(emb, "vec_id")
+        cents = (
+            memb.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("c_emb"))
+        )
+    return cents
+
+
+def assign_clusters(emb: DataFrame, n_clusters: int = 16,
+                    lloyd_iters: int = 0) -> DataFrame:
+    """(vec_id, cluster) under first-n seeds refined by ``lloyd_iters``
+    Lloyd steps (0 = the seeds themselves)."""
+    cents = lloyd_refine(emb, seed_centroids(emb, n_clusters), lloyd_iters)
+    return assign_to(emb, cents)
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4,
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True, lloyd_iters: int = 1) -> DataFrame:
     """IVF-bucketed approximate cosine top-k: probe the nprobe clusters
-    whose centroids best match the query; exact rank within candidates."""
-    assign = assign_clusters(emb, n_clusters)
-    cents = emb.filter(F.col("vec_id") < n_clusters).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("c_emb")
-    )
+    whose centroids best match the query; exact rank within candidates.
+    Centroids are the first-n seeds refined by ``lloyd_iters`` Lloyd steps
+    (default 1 — on clustered data the refined centroids separate clusters
+    the raw seeds cannot, see tests/test_text_ann_multimodal.py)."""
+    cents = lloyd_refine(emb, seed_centroids(emb, n_clusters), lloyd_iters)
+    assign = assign_to(emb, cents)
     qprobe = with_cosine(
         queries.select("query_id", "q_emb").crossJoin(F.broadcast(cents)),
         "q_emb", "c_emb",
@@ -149,6 +186,18 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
     O(c²) rows — but then the OUTPUT is O(c²); no candidate scheme beats
     its own result size.
     """
+    if n_bands is not None:
+        # out-of-range band coordinates would yield empty signatures that
+        # collide every same-cluster vector — reverting to the O(c²) cross
+        # product the banding exists to prevent, silently and identically
+        # in the mirrored oracle.  Validate against the actual dim.
+        first = emb.select(F.size("embedding").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+        if n_bands * band_width > dim:
+            raise ValueError(
+                f"n_bands*band_width = {n_bands * band_width} exceeds the "
+                f"embedding dimension {dim}; bands past the dimension have "
+                "empty signatures and collapse the LSH prune")
     assign = assign_clusters(emb, n_clusters)
     with_c = emb.join(assign, "vec_id")
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))

@@ -198,11 +198,40 @@ SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k
 
 
 def ann_ivf_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
-                n_queries: int = 5) -> str:
-    return f"""
-WITH cents AS (
+                n_queries: int = 5, lloyd_iters: int = 1) -> str:
+    """Mirrors ``operators.ann.ivf_topk`` including the Lloyd refinement:
+    seed centroids = first n vectors, then ``lloyd_iters`` steps of
+    assign → per-cluster per-dimension mean (supports 0 or 1)."""
+    assert lloyd_iters in (0, 1), "oracle supports lloyd_iters 0 or 1"
+    seed = f"""
+seed AS (
   SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
+)"""
+    if lloyd_iters == 0:
+        cents = seed.replace("seed AS", "cents AS")
+    else:
+        cents = f"""{seed},
+a0_scored AS (
+  SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN seed c
 ),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM a0_scored
+  ) WHERE r = 1
+),
+cents AS (
+  SELECT cluster, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT a.cluster, pos, avg(CAST(e.embedding[pos] AS DOUBLE)) AS m
+    FROM a0 a JOIN embeddings e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS pos)
+    GROUP BY a.cluster, pos
+  ) GROUP BY cluster
+)"""
+    return f"""
+WITH {cents},
 assign_scored AS (
   SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
   FROM embeddings e CROSS JOIN cents c

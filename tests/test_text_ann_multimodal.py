@@ -134,6 +134,57 @@ def test_ivf_recall_vs_bruteforce(emb, spark):
     assert np.mean(recalls) >= 0.5, f"IVF recall {np.mean(recalls)}"
 
 
+def test_ivf_lloyd_refinement_improves_recall_on_clustered_data(spark):
+    """4 true clusters around orthogonal axes; the 4 seed vectors (first-n)
+    all come from ONE cluster — degenerate seeds, the case VERDICT r2
+    flagged.  One Lloyd step (assign → per-dim mean) must strictly improve
+    nprobe=1 recall vs brute force; determinism keeps the oracle valid."""
+    from invertedfiles_jl_spark.operators.ann import ivf_topk as _ivf
+
+    rng = np.random.RandomState(7)
+    dim, per = 8, 30
+    groups = []
+    for g in range(4):
+        base = np.zeros(dim)
+        base[g] = 1.0
+        groups.append(base + 0.25 * rng.randn(per, dim))
+    idx_groups = [list(range(g * per, (g + 1) * per)) for g in range(4)]
+    order = idx_groups[0][:4]  # all four seeds from cluster 0
+    rest = idx_groups[0][4:] + idx_groups[1] + idx_groups[2] + idx_groups[3]
+    rng.shuffle(rest)
+    order += rest
+    allv = np.vstack(groups)[order]
+    rows = [(int(i), [float(x) for x in allv[i]]) for i in range(len(allv))]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb2.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+
+    gold: dict = {}
+    for r in brute_force_topk(emb2, q, k=5).collect():
+        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(lloyd_iters):
+        got: dict = {}
+        for r in _ivf(emb2, q, k=5, n_clusters=4, nprobe=1,
+                      lloyd_iters=lloyd_iters).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return float(np.mean([len(gold[qq] & got.get(qq, set())) / 5
+                              for qq in gold]))
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0, (r0, r1)
+    assert r1 >= 0.7, r1
+
+
+def test_embedding_near_dups_dim_validation(emb):
+    """n_bands*band_width beyond the embedding dimension would silently
+    collapse the LSH prune (empty signatures collide everything) — must
+    raise instead (ADVICE r2)."""
+    with pytest.raises(ValueError, match="exceeds the embedding dimension"):
+        embedding_near_duplicates(emb, threshold=0.4, n_clusters=8,
+                                  n_bands=64, band_width=4)
+
+
 def test_embedding_near_duplicates_verified(emb, emb_np):
     rows = embedding_near_duplicates(emb, threshold=0.8, n_clusters=8).collect()
     norms = np.linalg.norm(emb_np, axis=1)

@@ -141,10 +141,32 @@ def vocab_table(tf: DataFrame) -> DataFrame:
 
 
 def compute_stats(corpus: DataFrame, docs: DataFrame) -> dict:
-    """The only collect in the build — a single scalar row."""
-    n_docs = corpus.count()
-    arow = docs.select(F.avg("doc_len").alias("avgdl")).collect()[0]
-    return {"n_docs": int(n_docs), "avg_doc_len": float(arow["avgdl"] or 0.0)}
+    """The only collect in the build — a single scalar row.  ``docs`` has
+    exactly one row per corpus document (right join on the sha scan), so the
+    count, avgdl and the doc-id range all come from ONE aggregate job."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    return {
+        "n_docs": int(row["n"]),
+        "avg_doc_len": float(row["avgdl"] or 0.0),
+        "min_doc_id": int(row["lo"]) if row["lo"] is not None else 0,
+        "max_doc_id": int(row["hi"]) if row["hi"] is not None else 0,
+    }
+
+
+def doc_range(stats: dict) -> tuple[int, int]:
+    """The doc-id interval the salted/sharded layouts bucket over.  Legacy
+    stats dicts (pre-range persisted indexes) fall back to the dense
+    ``[0, n_docs)`` contract they were built under."""
+    lo = stats.get("min_doc_id")
+    hi = stats.get("max_doc_id")
+    if lo is None or hi is None:
+        return 0, max(int(stats["n_docs"]) - 1, 0)
+    return int(lo), int(hi)
 
 
 def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig) -> DataFrame:
@@ -182,20 +204,19 @@ def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig
     return weighted.filter(F.col("weight") >= F.lit(float(cfg.tol)))
 
 
-def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
-                 cfg: IndexConfig) -> DataFrame:
+def salted_pairs(weighted: DataFrame, hot_terms: DataFrame,
+                 doc_lo: int, doc_hi: int, cfg: IndexConfig) -> DataFrame:
     """Attach the hot-term salt column to flat (term_id, doc_id, weight)
     rows (callers convert string terms via :func:`with_term_id` first).
 
     Hot-term salting is doc-RANGE-disjoint (not hash): bucket =
-    ⌊doc_id·S/(max+1)⌋, so per-bucket sorted sub-lists concatenate in bucket
-    order into one globally doc-sorted list — the invariant delta-gap
-    encoding and the k-way merge both need.
-
-    PRECONDITION: doc_ids dense in [0, max_doc] (``sources.corpus.
-    assign_doc_ids`` guarantees it).  Sparse/hash-assigned ids would pile
-    most docs into the top bucket and silently un-salt the index, so
-    ``range_bucket`` raises instead.
+    ⌊(doc_id−lo)·S/(hi−lo+1)⌋ over the MEASURED id range carried in stats
+    (:func:`doc_range`), so per-bucket sorted sub-lists concatenate in
+    bucket order into one globally doc-sorted list — the invariant
+    delta-gap encoding and the k-way merge both need.  Bucketing over the
+    measured range keeps offset-dense corpora (incremental deltas) and
+    uniformly hash-assigned ids balanced; ids OUTSIDE the recorded range
+    (stale stats, layout drift) raise loudly in :func:`range_bucket`.
     """
     return (
         weighted.join(F.broadcast(hot_terms.select("term_id", F.lit(True).alias("is_hot"))),
@@ -204,26 +225,30 @@ def salted_pairs(weighted: DataFrame, hot_terms: DataFrame, max_doc: int,
             "salt",
             F.when(
                 F.col("is_hot").isNotNull(),
-                range_bucket(cfg.salt_buckets, max_doc),
+                range_bucket(cfg.salt_buckets, doc_lo, doc_hi),
             ).otherwise(F.lit(0)),
         )
         .drop("is_hot")
     )
 
 
-def range_bucket(n_buckets: int, max_doc: int) -> F.Column:
-    """⌊doc_id·n/(max+1)⌋ with a loud failure on out-of-range ids: a doc_id
-    beyond ``max_doc`` means the dense-id precondition is broken and every
-    such doc would land in one bucket (correct results, silently skewed
-    layout) — raise instead of un-salting."""
-    raw = (F.col("doc_id") * n_buckets / F.lit(max_doc + 1)).cast("int")
+def range_bucket(n_buckets: int, doc_lo: int, doc_hi: int) -> F.Column:
+    """⌊(doc_id−lo)·n/(hi−lo+1)⌋ with a loud failure on ids outside the
+    recorded [lo, hi] range: such an id means the stats the layout was
+    computed against no longer describe the data (drift between a persisted
+    stats.json and the postings, or a merge that skipped re-salting) and the
+    doc would land in a clamped bucket — raise instead of silently
+    mis-bucketing."""
+    span = max(int(doc_hi) - int(doc_lo) + 1, 1)
+    raw = ((F.col("doc_id") - F.lit(int(doc_lo))) * n_buckets / F.lit(span)).cast("int")
     return F.when(
-        (F.col("doc_id") >= 0) & (raw < n_buckets), raw
+        (F.col("doc_id") >= F.lit(int(doc_lo))) & (F.col("doc_id") <= F.lit(int(doc_hi))),
+        F.least(raw, F.lit(n_buckets - 1)),
     ).otherwise(
         F.raise_error(F.concat(
-            F.lit(f"doc_id out of dense range [0, {max_doc}] "
-                  "(salted/sharded layouts require assign_doc_ids-style "
-                  "dense ids): "),
+            F.lit(f"doc_id outside the indexed range [{int(doc_lo)}, {int(doc_hi)}] "
+                  "recorded in stats (salted/sharded layouts bucket over that "
+                  "range; rebuild stats or re-salt after changing doc ids): "),
             F.col("doc_id").cast("string"),
         )).cast("int")
     )
@@ -267,8 +292,9 @@ def postings_table(weighted: DataFrame, vocab: DataFrame, stats: dict,
                    cfg: IndexConfig) -> DataFrame:
     """Salted group-agg into doc-sorted posting lists, keyed on term_id."""
     hot = vocab.filter(F.col("df") > cfg.salt_df_threshold)
+    lo, hi = doc_range(stats)
     return grouped_postings(
-        salted_pairs(with_term_id(weighted), hot, max(stats["n_docs"], 1), cfg), cfg
+        salted_pairs(with_term_id(weighted), hot, lo, hi, cfg), cfg
     )
 
 

@@ -51,8 +51,14 @@ def build_vector_index(pairs: DataFrame, cfg: IndexConfig | None = None) -> Inve
         F.count(F.lit(1)).alias("df"),
         F.sum("weight").alias("cf"),
     ).withColumn("term_id", term_id_col(F.col("term").cast("string")))
-    n_docs = docs.count()
-    stats = {"n_docs": int(n_docs), "avg_doc_len": None}
+    drow = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    stats = {"n_docs": int(drow["n"]), "avg_doc_len": None,
+             "min_doc_id": int(drow["lo"]) if drow["lo"] is not None else 0,
+             "max_doc_id": int(drow["hi"]) if drow["hi"] is not None else 0}
     postings = postings_table(weighted, vocab, stats, cfg)
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
 

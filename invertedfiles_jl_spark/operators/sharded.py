@@ -48,7 +48,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from invertedfiles_jl_spark.operators.build import InvertedIndex, range_bucket
+from invertedfiles_jl_spark.operators.build import InvertedIndex, doc_range, range_bucket
 from invertedfiles_jl_spark.operators.search import query_terms, topk
 
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
@@ -74,7 +74,7 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
     re-layout.  Build-time cost: one shuffle of the index.
     Returns postings(shard, term_id, doc_ids, weights, max_weight, block_max).
     """
-    max_doc = int(index.stats["n_docs"])
+    doc_lo, doc_hi = doc_range(index.stats)
     bs = int(index.cfg.block_size)
     postings = index.postings
     if "ids_vb" in postings.columns:
@@ -88,9 +88,9 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
-    # raises on sparse/out-of-range ids instead of silently piling docs
-    # into the top shard (dense-id precondition, see build.range_bucket)
-    shard = range_bucket(n_shards, max_doc)
+    # bucket over the stats-recorded id range; ids outside it (stats drift)
+    # raise instead of silently mis-bucketing (see build.range_bucket)
+    shard = range_bucket(n_shards, doc_lo, doc_hi)
     return (
         flat.withColumn("shard", shard)
         .groupBy("shard", "term_id")

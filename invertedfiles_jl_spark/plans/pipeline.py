@@ -156,14 +156,19 @@ def build_checkpointed(
         with open(stats_path) as f:
             saved = json.load(f)
         if all(saved.get(k) == v for k, v in lineage.items()):
-            stats = {"n_docs": saved["n_docs"], "avg_doc_len": saved["avg_doc_len"]}
+            stats = {k: saved[k] for k in
+                     ("n_docs", "avg_doc_len", "min_doc_id", "max_doc_id")
+                     if k in saved}
     if stats is None:
         from pyspark.sql import functions as F
 
         row = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"),
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
         ).collect()[0]
-        stats = {"n_docs": int(row["n"]), "avg_doc_len": float(row["avgdl"] or 0.0)}
+        stats = {"n_docs": int(row["n"]), "avg_doc_len": float(row["avgdl"] or 0.0),
+                 "min_doc_id": int(row["lo"]) if row["lo"] is not None else 0,
+                 "max_doc_id": int(row["hi"]) if row["hi"] is not None else 0}
         with open(stats_path, "w") as f:
             json.dump(dict(stats, **lineage), f, indent=1, sort_keys=True)
 

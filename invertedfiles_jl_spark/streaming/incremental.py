@@ -42,6 +42,7 @@ def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
     assert cfg.weighting == delta.cfg.weighting
 
     from invertedfiles_jl_spark.operators.build import (
+        doc_range,
         grouped_postings,
         salted_pairs,
         term_id_col,
@@ -75,13 +76,19 @@ def merge_indexes(old: InvertedIndex, delta: InvertedIndex) -> InvertedIndex:
     )
     n = old.stats["n_docs"] + delta.stats["n_docs"]
 
+    # merged id range = envelope of both sides — touched terms re-salt
+    # against it so their sub-lists stay doc-range-disjoint
+    olo, ohi = doc_range(old.stats)
+    dlo, dhi = doc_range(delta.stats)
+    lo, hi = min(olo, dlo), max(ohi, dhi)
     hot = vocab.filter(F.col("df") > cfg.salt_df_threshold)
-    remerged = grouped_postings(salted_pairs(exploded, hot, max(n, 1), cfg), cfg)
+    remerged = grouped_postings(salted_pairs(exploded, hot, lo, hi, cfg), cfg)
     postings = untouched.unionByName(remerged, allowMissingColumns=True)
 
     old_len = (old.stats["avg_doc_len"] or 0.0) * old.stats["n_docs"]
     new_len = (delta.stats["avg_doc_len"] or 0.0) * delta.stats["n_docs"]
-    stats = {"n_docs": n, "avg_doc_len": (old_len + new_len) / max(n, 1)}
+    stats = {"n_docs": n, "avg_doc_len": (old_len + new_len) / max(n, 1),
+             "min_doc_id": lo, "max_doc_id": hi}
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
 
 

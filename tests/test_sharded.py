@@ -165,17 +165,35 @@ def test_sharded_kernel_block_skips():
         assert np.isclose(s, gs)
 
 
-def test_shard_postings_sparse_ids_fail_loudly(spark, corpus):
-    """Doc-range bucketing assumes dense 0..N ids (assign_doc_ids
-    contract); sparse ids would silently collapse into the top shard —
-    the layout must raise instead (VERDICT r2 What's-wrong #5)."""
-    from pyspark.errors import SparkRuntimeException
+def test_shard_postings_sparse_ids_spread(spark, corpus):
+    """Doc-range bucketing runs over the MEASURED id range in stats
+    (VERDICT r2 What's-wrong #5): uniformly sparse ids (×1000) must spread
+    across shards instead of collapsing into the top one."""
     from pyspark.sql import functions as F
 
     sparse = corpus.select((F.col("doc_id") * 1000).alias("doc_id"), "content")
     idx = build_index(sparse, IndexConfig(weighting="bm25"))
-    with pytest.raises(SparkRuntimeException, match="dense"):
-        shard_postings(idx, 8).count()
+    counts = {r["shard"]: r["n"] for r in
+              shard_postings(idx, 8).groupBy("shard").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert len(counts) == 8
+    assert max(counts.values()) < 0.5 * sum(counts.values())
+
+
+def test_shard_postings_out_of_range_ids_fail_loudly(spark, corpus):
+    """Ids OUTSIDE the stats-recorded range mean the layout's stats no
+    longer describe the postings (drift / skipped re-salt) — the layout
+    must raise instead of silently clamping into the top shard."""
+    import dataclasses
+
+    from pyspark.errors import SparkRuntimeException
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    lo, hi = 0, idx.stats["max_doc_id"] // 2  # stale, too-narrow range
+    drifted = dataclasses.replace(
+        idx, stats=dict(idx.stats, min_doc_id=lo, max_doc_id=hi))
+    with pytest.raises(SparkRuntimeException, match="outside the indexed range"):
+        shard_postings(drifted, 8).count()
 
 
 def test_sharded_fast_path_load_shards(spark, corpus, tmp_path):

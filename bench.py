@@ -73,13 +73,11 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
     (5000-term Zipf vocabulary → realistic posting-list selectivity).
 
     Build is the checkpointed pipeline (tmpfs scratch); query timings are
-    the median of 3 steady-state runs (first warm-up run discarded).
+    the min of 3 steady-state runs (first warm-up run discarded).
     The doc-sharded path runs a 4× larger batch (``sharded_nq``): its
     per-batch fixed cost (job launch, broadcast, driver round-trip) is
     constant, so a bigger batch measures compute scaling, not overhead.
     """
-    import statistics
-
     from invertedfiles_jl_spark.config import IndexConfig
     from invertedfiles_jl_spark.operators.search import bm25_topk
     from invertedfiles_jl_spark.operators.wand import wand_topk
@@ -151,7 +149,11 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
                 t0 = time.perf_counter()
                 fn(idx, q, k=10).count()
                 ts.append(time.perf_counter() - t0)
-            out[f"{name}_query"] = statistics.median(ts)
+            # min, not median: this shared VM shows episodic multi-second
+            # neighbor stalls (measured: identical jobs 1.6s..6.7s in one
+            # session); a stall spanning two of three reps contaminates the
+            # median, while the min is the steady-state job cost
+            out[f"{name}_query"] = min(ts)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {k: round(v, 3) for k, v in out.items()}
@@ -160,13 +162,13 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
 def run_once(cpus: int) -> dict:
     """Steady-state measurements: a throwaway warm-up job absorbs one-time
     session costs (codegen compile, Python-worker spawn, parquet footer
-    cache), then each build is timed once and each query batch is the median
-    of 3 runs after its own warm-up — same protocol as run_scaling_job.
+    cache), then each build is timed twice (min) and each query batch is the
+    min of 3 runs after its own warm-up — same protocol as run_scaling_job.
     Cold-start is a per-session constant, not a per-job property of the
-    engine, and would otherwise dominate whichever job happens to run first.
+    engine, and would otherwise dominate whichever job happens to run first;
+    min-over-reps is the steady-state estimator on this shared VM (episodic
+    neighbor stalls measured at 1.6s..6.7s for byte-identical jobs).
     """
-    import statistics
-
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.config import IndexConfig
@@ -191,7 +193,20 @@ def run_once(cpus: int) -> dict:
             t0 = time.perf_counter()
             fn(*args, **kw).count()
             ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
+        # min over reps — the steady-state cost on a shared VM whose
+        # episodic neighbor stalls (measured 1.6s..6.7s for identical jobs)
+        # would contaminate a median whenever a stall spans two reps
+        return min(ts)
+
+    def timed_build(path_suffix, cfg):
+        # builds are the longest single jobs = widest stall exposure; two
+        # timed passes, min (the warm-up build above absorbed codegen/JIT)
+        ts = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            build_checkpointed(corpus, f"{tmp}/{path_suffix}{i}", cfg, resume=False)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), f"{tmp}/{path_suffix}1"
 
     out = {}
     tmp = tempfile.mkdtemp(prefix="ifbench_")
@@ -201,10 +216,9 @@ def run_once(cpus: int) -> dict:
         build_checkpointed(corpus.limit(1000), f"{tmp}/warm",
                            IndexConfig(weighting="bm25", compress=COMPRESS), resume=False)
 
-        t0 = time.perf_counter()
-        build_checkpointed(corpus, f"{tmp}/bm25", IndexConfig(weighting="bm25", compress=COMPRESS), resume=False)
-        out["build_bm25"] = time.perf_counter() - t0
-        idx = load_index(spark, f"{tmp}/bm25")
+        out["build_bm25"], bm25_path = timed_build(
+            "bm25", IndexConfig(weighting="bm25", compress=COMPRESS))
+        idx = load_index(spark, bm25_path)
         out["bm25_planA_100q"] = timed_query(bm25_topk, idx, qdf, k=10)
         out["bm25_wand_100q"] = timed_query(wand_topk, idx, qdf, k=10)
 
@@ -222,16 +236,14 @@ def run_once(cpus: int) -> dict:
         out["bm25_sharded_100q"] = timed_query(
             sharded_topk, idx, qdf, k=10, sharded=sharded, assume_colocated=True)
 
-        t0 = time.perf_counter()
-        build_checkpointed(corpus, f"{tmp}/cos", IndexConfig(weighting="normcosine"), resume=False)
-        out["build_normcosine"] = time.perf_counter() - t0
-        cidx = load_index(spark, f"{tmp}/cos")
+        out["build_normcosine"], cos_path = timed_build(
+            "cos", IndexConfig(weighting="normcosine"))
+        cidx = load_index(spark, cos_path)
         out["cosine_planA_100q"] = timed_query(cosine_topk, cidx, qdf, k=10)
 
-        t0 = time.perf_counter()
-        build_checkpointed(corpus, f"{tmp}/bin", IndexConfig(weighting="binary"), resume=False)
-        out["build_binary"] = time.perf_counter() - t0
-        bidx = load_index(spark, f"{tmp}/bin")
+        out["build_binary"], bin_path = timed_build(
+            "bin", IndexConfig(weighting="binary"))
+        bidx = load_index(spark, bin_path)
         out["jaccard_100q"] = timed_query(set_distance_topk, bidx, qdf, k=10, dist="jaccard")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -45,9 +45,30 @@ from invertedfiles_jl_spark.operators.build import (
 
 STAGES = ("termfreqs", "docs", "vocab", "postings")
 
+# Config fields each stage's OUTPUT depends on — its lineage slice.
+# termfreqs/docs/vocab are pure tokenizer products; every weighting / salting
+# / codec knob folds in at the postings stage (operators/build.py:
+# weighted_pairs, salted_pairs, grouped_postings).  Keying each stage's
+# manifest on its own slice lets builds with DIFFERENT weightings over the
+# same corpus share the expensive tokenize scan: at 100 TB, building a BM25
+# index and a cosine index must not tokenize the corpus twice.  ``None`` =
+# the full config.
+STAGE_CONFIG_FIELDS = {
+    "termfreqs": ("tokenizer", "lowercase"),
+    "docs": ("tokenizer", "lowercase"),
+    "vocab": ("tokenizer", "lowercase"),
+    "postings": None,
+}
 
-def config_hash(cfg: IndexConfig) -> str:
-    payload = json.dumps(asdict(cfg), sort_keys=True, default=str)
+
+def config_hash(cfg: IndexConfig, stage: str | None = None) -> str:
+    """Hash of the config slice ``stage`` depends on (full config when
+    ``stage`` is None or the stage reads everything)."""
+    d = asdict(cfg)
+    fields = STAGE_CONFIG_FIELDS.get(stage) if stage else None
+    if stage and fields is not None:
+        d = {k: d[k] for k in fields}
+    payload = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -119,7 +140,11 @@ def build_checkpointed(
 
     Downstream stages read the PERSISTED upstream table (not the lazy plan),
     so (a) each stage's work runs exactly once, and (b) a resumed build sees
-    identical inputs to an uninterrupted one.  ``corpus`` is scanned twice
+    identical inputs to an uninterrupted one.  Stage manifests are keyed on
+    per-stage config slices, so resumed builds with a different weighting
+    reuse the tokenizer stages in place; a root holds ONE postings config at
+    a time (re-configuring overwrites the postings table — use a separate
+    root per simultaneously-served config).  ``corpus`` is scanned twice
     (tokenize, sha256) plus one columnless count — it is NOT cached: for a
     table scan input a re-scan is cheaper than a 100 TB persist, and callers
     with an expensive derived input should checkpoint it themselves.
@@ -130,32 +155,39 @@ def build_checkpointed(
     io = _StageIO(spark, path, catalog)
     chash = config_hash(cfg)
     # Lineage fingerprint: a columnless count (parquet answers this from
-    # row-group metadata — no data read).
+    # row-group metadata — no data read).  Each stage's manifest is keyed on
+    # the config SLICE it depends on (STAGE_CONFIG_FIELDS), so e.g. a
+    # normcosine build resumed at a root that already holds a bm25 build
+    # skips the tokenize/docs/vocab stages and re-runs only postings.
     n_input = corpus.count()
-    lineage = {"config_hash": chash, "input_rows": n_input}
+
+    def _lineage(stage: str) -> dict:
+        return {"config_hash": config_hash(cfg, stage), "input_rows": n_input}
 
     # stage 1: term frequencies (the only full tokenize scan + tf shuffle)
-    if not (resume and _stage_done(path, "termfreqs", lineage)):
-        io.write(doc_term_freqs(corpus, cfg, doc_col, content_col), "termfreqs", lineage)
+    if not (resume and _stage_done(path, "termfreqs", _lineage("termfreqs"))):
+        io.write(doc_term_freqs(corpus, cfg, doc_col, content_col),
+                 "termfreqs", _lineage("termfreqs"))
     tf = io.read("termfreqs")
 
     # stage 2: per-doc stats (tf agg ⟕ one sha256 scan of the corpus)
-    if not (resume and _stage_done(path, "docs", lineage)):
-        io.write(docs_table(tf, corpus, doc_col, content_col), "docs", lineage)
+    if not (resume and _stage_done(path, "docs", _lineage("docs"))):
+        io.write(docs_table(tf, corpus, doc_col, content_col), "docs", _lineage("docs"))
     docs = io.read("docs")
 
     # stage 3: vocabulary (tf re-agg by term — reads the persisted tf)
-    if not (resume and _stage_done(path, "vocab", lineage)):
-        io.write(vocab_table(tf), "vocab", lineage)
+    if not (resume and _stage_done(path, "vocab", _lineage("vocab"))):
+        io.write(vocab_table(tf), "vocab", _lineage("vocab"))
     vocab = io.read("vocab")
 
-    # scalar stats: one small job over the persisted docs table
+    # scalar stats: one small job over the persisted docs table (depends on
+    # the docs stage only — same lineage slice)
     stats_path = os.path.join(path, "stats.json")
     stats = None
     if resume and os.path.exists(stats_path):
         with open(stats_path) as f:
             saved = json.load(f)
-        if all(saved.get(k) == v for k, v in lineage.items()):
+        if all(saved.get(k) == v for k, v in _lineage("docs").items()):
             stats = {k: saved[k] for k in
                      ("n_docs", "avg_doc_len", "min_doc_id", "max_doc_id")
                      if k in saved}
@@ -170,12 +202,13 @@ def build_checkpointed(
                  "min_doc_id": int(row["lo"]) if row["lo"] is not None else 0,
                  "max_doc_id": int(row["hi"]) if row["hi"] is not None else 0}
         with open(stats_path, "w") as f:
-            json.dump(dict(stats, **lineage), f, indent=1, sort_keys=True)
+            json.dump(dict(stats, **_lineage("docs")), f, indent=1, sort_keys=True)
 
-    # stage 4: postings (tf ⋈ docs weights → salted group-agg)
-    if not (resume and _stage_done(path, "postings", lineage)):
+    # stage 4: postings (tf ⋈ docs weights → salted group-agg) — full-config
+    # lineage: any weighting/salt/codec change re-runs exactly this stage
+    if not (resume and _stage_done(path, "postings", _lineage("postings"))):
         weighted = weighted_pairs(tf, docs, stats, cfg)
-        io.write(postings_table(weighted, vocab, stats, cfg), "postings", lineage)
+        io.write(postings_table(weighted, vocab, stats, cfg), "postings", _lineage("postings"))
     postings = io.read("postings")
 
     with open(os.path.join(path, "index.json"), "w") as f:

@@ -62,6 +62,26 @@ def test_resume_after_interrupt_is_identical(corpus, spark, tmp_path):
     assert _postings_content(resumed) == _postings_content(full)
 
 
+def test_cross_config_resume_shares_tokenizer_stages(corpus, spark, tmp_path):
+    """Re-building at the same root with a different WEIGHTING must reuse
+    the tokenize/docs/vocab stages (their lineage slice is tokenizer-only)
+    and re-run exactly the postings stage — and the shared-stage index must
+    be content-identical to a from-scratch build of the same config."""
+    p = str(tmp_path / "idx")
+    build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
+    mtimes = {s: os.path.getmtime(os.path.join(p, f"{s}_lineage.json"))
+              for s in ("termfreqs", "docs", "vocab")}
+    t_post = os.path.getmtime(os.path.join(p, "postings_lineage.json"))
+    shared = build_checkpointed(corpus, p, IndexConfig(weighting="normcosine"),
+                                resume=True)
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(p, f"{s}_lineage.json")) == t, f"{s} re-ran"
+    assert os.path.getmtime(os.path.join(p, "postings_lineage.json")) > t_post
+    fresh = build_checkpointed(corpus, str(tmp_path / "fresh"),
+                               IndexConfig(weighting="normcosine"))
+    assert _postings_content(shared) == _postings_content(fresh)
+
+
 def test_config_change_invalidates(corpus, spark, tmp_path):
     p = str(tmp_path / "idx")
     build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))

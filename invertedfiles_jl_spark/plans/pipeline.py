@@ -1,7 +1,8 @@
 """Checkpoint-resumable staged build — the north rule's persistence layer.
 
 Each build stage writes one table plus a ``_lineage.json`` manifest (config
-hash, input fingerprint, upstream stage hashes).  ``resume=True`` skips any
+hash, input fingerprint, wall time, and per-partition metrics: one entry per
+output file with footer-derived row count and bytes).  ``resume=True`` skips any
 stage whose manifest matches — a build killed between stages picks up
 exactly where it stopped and produces byte-identical outputs (pytest gate).
 The reference has no persistence (saveindex/loadindex tests are commented
@@ -97,6 +98,37 @@ def catalog_configured(spark: SparkSession, catalog: str | None) -> bool:
     return spark.conf.get(f"spark.sql.catalog.{name}", None) is not None
 
 
+_PARTITION_DETAIL_CAP = 1024  # per-file detail rows kept in a manifest
+
+
+def _partition_lineage(stage_dir: str) -> dict:
+    """Per-partition metrics for a stage's parquet output — the north rule's
+    per-partition lineage: one entry per output file with its row count and
+    size, read from parquet FOOTERS (no data scan; footer reads are
+    O(files), driver-side).  Totals are always exact; per-file detail is
+    capped at ``_PARTITION_DETAIL_CAP`` entries so a 10^5-file stage keeps a
+    bounded manifest (the judge of truth for full detail at that scale is an
+    Iceberg snapshot, which the catalog branch delegates to)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(stage_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    detail, total_rows, total_bytes = [], 0, 0
+    for name in files:
+        fp = os.path.join(stage_dir, name)
+        rows = pq.read_metadata(fp).num_rows
+        size = os.path.getsize(fp)
+        total_rows += rows
+        total_bytes += size
+        if len(detail) < _PARTITION_DETAIL_CAP:
+            detail.append({"file": name, "rows": rows, "bytes": size})
+    return {"n_files": len(files), "total_rows": total_rows,
+            "total_bytes": total_bytes, "files": detail,
+            "detail_truncated": len(files) > _PARTITION_DETAIL_CAP}
+
+
 class _StageIO:
     """Stage reader/writer — Iceberg ``writeTo`` when a catalog is
     configured, parquet directories otherwise.  The manifest file is the
@@ -118,6 +150,8 @@ class _StageIO:
             df.write.mode("overwrite").parquet(os.path.join(self.root, stage))
         manifest = dict(lineage, stage=stage, complete=True,
                         wall_sec=round(time.perf_counter() - t0, 3))
+        if not self.catalog:  # Iceberg snapshots carry their own file stats
+            manifest["partitions"] = _partition_lineage(os.path.join(self.root, stage))
         with open(_manifest_path(self.root, stage), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
 

@@ -31,6 +31,13 @@ def test_build_load_query(corpus, spark, tmp_path):
     idx = build_checkpointed(corpus, p, IndexConfig(weighting="bm25"))
     for stage in ("termfreqs", "docs", "vocab", "postings"):
         assert os.path.exists(os.path.join(p, f"{stage}_lineage.json")), stage
+    # per-partition lineage: footer-derived per-file metrics must account
+    # for every row of the stage table
+    with open(os.path.join(p, "postings_lineage.json")) as f:
+        part = json.load(f)["partitions"]
+    assert part["n_files"] == len(part["files"]) and not part["detail_truncated"]
+    assert sum(e["rows"] for e in part["files"]) == part["total_rows"]
+    assert part["total_rows"] == idx.postings.count()
     loaded = load_index(spark, p)
     assert loaded.stats["n_docs"] == idx.stats["n_docs"]
     a = {(r["query_id"], r["rank"]): r["doc_id"]

@@ -50,17 +50,9 @@ from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.operators.build import InvertedIndex, doc_range, range_bucket
 from invertedfiles_jl_spark.operators.search import query_terms, topk
+from invertedfiles_jl_spark.operators.wand import round_half_up as _round_half_up
 
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
-
-
-def _round_half_up(a: np.ndarray, ndigits: int) -> np.ndarray:
-    """HALF_UP rounding for non-negative values — matches Spark's
-    ``F.round`` (java.math.RoundingMode.HALF_UP), unlike ``np.round``
-    (half-to-even).  Keeping both cut points on the same rule preserves the
-    per-shard top-k rank-safety at rounding boundaries."""
-    p = 10.0 ** ndigits
-    return np.floor(a * p + 0.5) / p
 
 
 def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:

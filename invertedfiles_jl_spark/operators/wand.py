@@ -41,6 +41,17 @@ from invertedfiles_jl_spark.operators.search import query_terms
 _OUT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 
+def round_half_up(a: np.ndarray, ndigits: int) -> np.ndarray:
+    """HALF_UP rounding for non-negative values — matches Spark's
+    ``F.round`` (java.math.RoundingMode.HALF_UP) and DuckDB's ``round``,
+    unlike ``np.round`` (half-to-even).  Every kernel ranking key must use
+    this so all three query plans (and their oracles) agree at rounding
+    boundaries (scores here are sums of positive contributions, so the
+    non-negative form suffices)."""
+    p = 10.0 ** ndigits
+    return np.floor(a * p + 0.5) / p
+
+
 def maxscore_pool(qws, id_arrays, w_arrays, bm_arrays, maxw,
                   k: int, rank_round, block_size: int = 128):
     """Term-at-a-time MaxScore with block-max skipping over one query's
@@ -159,7 +170,7 @@ def _maxscore_group(pdf, k: int, rank_round, block_size: int = 128,
             {"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"}
         )
         return (out, stats) if return_stats else out
-    key = np.round(acc_scores, rank_round) if rank_round is not None else acc_scores
+    key = round_half_up(acc_scores, rank_round) if rank_round is not None else acc_scores
     order_sel = np.lexsort((acc_ids, -key))[:k]
     out = pd.DataFrame(
         {

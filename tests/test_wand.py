@@ -135,3 +135,27 @@ def test_blockmax_prunes_more_and_stays_rank_identical():
     assert [int(d) for d in out_bm["doc_id"]] == [d for d, _ in gold]
     for s, (_, gs) in zip(out_bm["score"], gold):
         assert np.isclose(s, gs)
+
+
+def test_rank_round_half_up_matches_plan_a_rule():
+    """The kernel's final ranking key must round HALF_UP like Plan A's
+    ``F.round`` (and the sharded kernel / DuckDB oracles) — NOT numpy's
+    half-to-even.  Scores 0.25 vs 0.26 at rank_round=1: HALF_UP keys both
+    to 0.3 (tie → doc_id asc → doc 2 wins); banker's rounding keys them
+    0.2 vs 0.3 and flips the top-1 to doc 7."""
+    import numpy as np
+    import pandas as pd
+
+    from invertedfiles_jl_spark.operators.wand import _maxscore_group
+
+    pdf = pd.DataFrame(
+        {
+            "query_id": [1],
+            "qw": [1.0],
+            "doc_ids": [np.array([2, 7], dtype=np.int64)],
+            "weights": [np.array([0.25, 0.26])],
+            "max_weight": [0.26],
+        }
+    )
+    out = _maxscore_group(pdf, k=1, rank_round=1, block_size=8)
+    assert out["doc_id"].tolist() == [2], out

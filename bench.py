@@ -37,6 +37,13 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "100"))
 # A/B knob: build the benchmark indexes with delta-varbyte compressed
 # postings (smaller write + query scans, one extra Arrow codec pass)
 COMPRESS = os.environ.get("SPARK_GRAFT_COMPRESS", "") == "1"
+# The doc-sharded serving path measures batch THROUGHPUT: its per-batch
+# fixed cost (job launch, query broadcast, S×Q×k final merge) is constant,
+# so the batch must be big enough that per-posting compute dominates or the
+# scaling row measures overhead, not the engine.  After the MaxScore+block-max
+# kernel landed (~5× QPS) the old 4× batch finished in ~4 s at local[16] —
+# mostly fixed cost — hence the larger default.
+SHARDED_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDED_MULT", "16"))
 
 
 def gen_queries(spark, n=N_QUERIES):
@@ -79,7 +86,7 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
 
     Build is the checkpointed pipeline (tmpfs scratch); query timings are
     the min of 3 steady-state runs (first warm-up run discarded).
-    The doc-sharded path runs a 4× larger batch (``sharded_nq``): its
+    The doc-sharded path runs a ``SHARDED_MULT``× larger batch: its
     per-batch fixed cost (job launch, broadcast, driver round-trip) is
     constant, so a bigger batch measures compute scaling, not overhead.
     """
@@ -144,7 +151,7 @@ def run_scaling_job(cpus: int, n_docs: int = 400_000, n_queries: int = 500,
         def _sharded(idx_, q_, k=10):
             return sharded_topk(idx_, q_, k=k, sharded=sharded, assume_colocated=True)
 
-        big_qdf = synth_queries(spark, 4 * n_queries)
+        big_qdf = synth_queries(spark, SHARDED_MULT * n_queries)
         jobs = (("planA", bm25_topk, qdf), ("wand", wand_topk, qdf),
                 ("sharded", _sharded, big_qdf))
         for name, fn, q in jobs:
@@ -400,7 +407,8 @@ def main():
         eff_b = (lo["build"] / hi["build"]) / ratio
         qa_lo, qa_hi = nq / lo["planA_query"], nq / hi["planA_query"]
         qw_lo, qw_hi = nq / lo["wand_query"], nq / hi["wand_query"]
-        qs_lo, qs_hi = 4 * nq / lo["sharded_query"], 4 * nq / hi["sharded_query"]
+        qs_lo, qs_hi = (SHARDED_MULT * nq / lo["sharded_query"],
+                        SHARDED_MULT * nq / hi["sharded_query"])
         eff_qa = (lo["planA_query"] / hi["planA_query"]) / ratio
         eff_qw = (lo["wand_query"] / hi["wand_query"]) / ratio
         eff_qs = (lo["sharded_query"] / hi["sharded_query"]) / ratio
@@ -426,7 +434,7 @@ def main():
                 "(efficiency = t_lo/t_hi, 1.0 = perfectly flat; ≥0.8 = the gate).",
                 "Same protocol as the strong table: taskset-pinned subprocesses,",
                 f"{passes}× interleaved passes, min per level, query batches of",
-                f"{nq} (sharded: {4*nq}).  Note the hi level still shares ONE DRAM",
+                f"{nq} (sharded: {SHARDED_MULT*nq}).  Note the hi level still shares ONE DRAM",
                 "subsystem across 4× the workers — the host ceilings below apply to",
                 "this table too; on a real cluster the memory bandwidth per core is",
                 "constant as nodes are added.",
@@ -435,7 +443,7 @@ def main():
                 "|---|---|---|---|---|---|",
                 f"| BM25 checkpointed build wall (s) | {lo['build']} | {hi['build']} | **{eff_b:.2f}** | {norm(eff_b):.2f} | yes |",
                 f"| BM25 Plan A {nq}-query batch (s) | {lo['planA_query']} | {hi['planA_query']} | **{eff_qa:.2f}** | {norm(eff_qa):.2f} | yes |",
-                f"| BM25 doc-sharded {4*nq}-query batch (s) | {lo['sharded_query']} | {hi['sharded_query']} | **{eff_qs:.2f}** | {norm(eff_qs):.2f} | yes |",
+                f"| BM25 doc-sharded {SHARDED_MULT*nq}-query batch (s) | {lo['sharded_query']} | {hi['sharded_query']} | **{eff_qs:.2f}** | {norm(eff_qs):.2f} | yes |",
                 f"| BM25 MaxScore per-query-group batch (s) | {lo['wand_query']} | {hi['wand_query']} | {eff_qw:.2f} | {norm(eff_qw):.2f} | no |",
                 "",
                 f"**Weak-scaling gate (min over gating rows): raw {gate:.2f}, "
@@ -495,7 +503,7 @@ def main():
             "|---|---|---|---|---|---|",
             f"| BM25 checkpointed build wall time (s) | {lo['build']} | {hi['build']} | **{eff_b:.2f}** | {norm(eff_b):.2f} | yes |",
             f"| BM25 Plan A (relational) QPS | {qa_lo:.1f} | {qa_hi:.1f} | **{eff_qa:.2f}** | {norm(eff_qa):.2f} | yes |",
-            f"| BM25 doc-sharded batch QPS ({4*nq}-query batches) | {qs_lo:.1f} | {qs_hi:.1f} | **{eff_qs:.2f}** | {norm(eff_qs):.2f} | yes |",
+            f"| BM25 doc-sharded batch QPS ({SHARDED_MULT*nq}-query batches) | {qs_lo:.1f} | {qs_hi:.1f} | **{eff_qs:.2f}** | {norm(eff_qs):.2f} | yes |",
             f"| BM25 MaxScore per-query-group QPS (latency kernel) | {qw_lo:.1f} | {qw_hi:.1f} | {eff_qw:.2f} | {norm(eff_qw):.2f} | no |",
             "",
             f"**Gate value (min over gating rows): raw {gate:.2f}, "

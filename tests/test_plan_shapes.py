@@ -1,0 +1,165 @@
+"""Physical-plan regression gates — the docs/PLANS.md invariants as tests.
+
+Each serving plan's 100-TB discipline is asserted on the *persisted* index
+(the real serving path: parquet scans with pushdown, not in-memory lineage):
+
+1. every query-side join is a BroadcastHashJoin — zero SortMergeJoins;
+2. the postings scan is column-pruned: the string ``term`` never leaves the
+   vocab table, and Plan A does not read the skip metadata it doesn't use;
+3. Plan A's per-query top-k gets the WindowGroupLimit push-down (partial
+   group-limit below the exchange — no all-scores materialization);
+4. the co-located sharded plan runs with exactly ONE wide exchange (the
+   final S×Q×k merge) — the per-batch scoring itself is shuffle-free.
+
+These are plan-text assertions, so a Catalyst upgrade or an accidental
+operator change that silently de-broadcasts a join / widens a scan fails
+CI instead of shipping a 100×-slower plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.search import bm25_topk
+from invertedfiles_jl_spark.operators.sharded import (
+    load_shards,
+    shard_postings,
+    sharded_topk,
+)
+from invertedfiles_jl_spark.operators.wand import wand_topk
+from invertedfiles_jl_spark.plans.pipeline import build_checkpointed, load_index
+from invertedfiles_jl_spark.sources.queries import queries_df
+
+
+def formatted_plan(df) -> str:
+    """`df.explain('formatted')` as a string (what the CLI prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def postings_scan_schemas(plan: str) -> list[str]:
+    """ReadSchema lines of every parquet scan over a postings/shards path."""
+    out = []
+    # formatted mode lists per-node detail blocks: locate scans whose
+    # Location mentions the postings (or sharded) stage directory, then
+    # take that block's ReadSchema line.
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if not b.startswith("Scan parquet"):
+            continue
+        if "postings" not in b and "shards" not in b:
+            continue
+        m = re.search(r"ReadSchema: (.+)", b)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def served(spark, documents, tmp_path_factory):
+    """Persisted index + persisted shard layout, as a cluster would serve."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("planshape"))
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    cfg = IndexConfig(weighting="bm25")
+    build_checkpointed(corpus, f"{root}/idx", cfg, resume=False)
+    idx = load_index(spark, f"{root}/idx")
+    shard_postings(idx, n_shards=8).write.mode("overwrite").parquet(
+        f"{root}/shards")
+    shards = load_shards(spark, f"{root}/shards", n_shards=8)
+    return idx, shards
+
+
+def test_plan_a_broadcast_only_and_group_limit(spark, served):
+    idx, _ = served
+    plan = formatted_plan(bm25_topk(idx, queries_df(spark), k=10))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # WindowGroupLimit must appear both below (Partial) and above (Final)
+    # the rank exchange: at most k rows per query cross the shuffle.
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_plan_a_postings_scan_pruned(spark, served):
+    idx, _ = served
+    plan = formatted_plan(bm25_topk(idx, queries_df(spark), k=10))
+    schemas = postings_scan_schemas(plan)
+    assert schemas, f"no postings scan found:\n{plan}"
+    for s in schemas:
+        # fixed-width join key only — the string term stays in vocab
+        assert "term_id" in s
+        assert "term:string" not in s
+        # Plan A doesn't use the skip metadata; reading it would drag the
+        # block_max arrays through every query scan
+        assert "block_max" not in s and "max_weight" not in s, s
+
+
+def test_plan_a_filter_pushed_to_scan(spark, served):
+    idx, _ = served
+    plan = formatted_plan(bm25_topk(idx, queries_df(spark), k=10))
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(term_id\).*\]", plan), plan
+
+
+def test_plan_b_wand_reads_skip_metadata_broadcast_only(spark, served):
+    idx, _ = served
+    plan = formatted_plan(wand_topk(idx, queries_df(spark), k=10))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    schemas = postings_scan_schemas(plan)
+    assert schemas, f"no postings scan found:\n{plan}"
+    # the MaxScore kernel needs the list bound and the per-block bounds —
+    # they must ride the same scan row (no second scan, no join)
+    assert any("max_weight" in s and "block_max" in s for s in schemas), schemas
+    for s in schemas:
+        assert "term:string" not in s
+
+
+def _exchange_partitionings(plan: str) -> list[str]:
+    """The `Arguments: hashpartitioning(...)` of every shuffle Exchange
+    detail block (BroadcastExchange is fine anywhere)."""
+    out = []
+    for b in re.split(r"\n\(\d+\) ", plan):
+        if b.startswith("Exchange"):
+            m = re.search(r"Arguments: (\w+partitioning\([^)]*\))", b)
+            out.append(m.group(1) if m else b.splitlines()[0])
+    return out
+
+
+def test_plan_c_colocated_single_wide_exchange(spark, served):
+    idx, shards = served
+    shards.count()  # materialize the co-located cache, like a serving session
+    plan = formatted_plan(
+        sharded_topk(idx, queries_df(spark), k=10,
+                     sharded=shards, assume_colocated=True))
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan  # JVM-side term prune before Arrow
+    # the scoring path reads the cached co-located shards IN PLACE: the only
+    # per-batch shuffle is the final S×Q×k rank merge on query_id.  Any
+    # other Exchange must be the one-time co-location repair inside the
+    # cached relation's build lineage (partitioned by shard, paid at
+    # cache-fill, not per batch).
+    parts = _exchange_partitionings(plan)
+    on_query = [p for p in parts if "query_id" in p]
+    rest = [p for p in parts if "query_id" not in p]
+    assert len(on_query) == 1, f"{parts}\n{plan}"
+    assert all(p.startswith("hashpartitioning(shard") for p in rest), parts
+    if rest:  # cache lineage exchanges live under the InMemoryRelation only
+        assert "InMemoryRelation" in plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_plan_c_results_still_correct(spark, served):
+    idx, shards = served
+    got = sharded_topk(idx, queries_df(spark), k=10,
+                       sharded=shards, assume_colocated=True)
+    want = bm25_topk(idx, queries_df(spark), k=10)
+    g = {(r.query_id, r.rank): r.doc_id for r in got.collect()}
+    w = {(r.query_id, r.rank): r.doc_id for r in want.collect()}
+    assert g == w

@@ -309,6 +309,20 @@ def _gen_corpus(n_docs: int, path: str) -> None:
         raise SystemExit("corpus generation failed")
 
 
+def _log_scaling_run(record: dict) -> None:
+    """Append one scaling run to BENCH/RUNS.jsonl — the durable run log.
+
+    This shared VM's measurement windows vary a lot (neighbor load moves the
+    host's own CPU/DRAM-delivery ceilings run to run), so BASELINE.md keeps
+    the best recorded window per section while every attempt, with its
+    in-run host ceilings, lands here for the variance story."""
+    os.makedirs("BENCH", exist_ok=True)
+    record = dict(record, recorded_utc=time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+    with open("BENCH/RUNS.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 def main():
     if os.environ.get("SPARK_GRAFT_SCALING"):
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
@@ -471,16 +485,20 @@ def main():
                 existing = "# BENCH/BASELINE.md — measured two-parallelism scaling\n"
             with open("BENCH/BASELINE.md", "w") as f:
                 f.write(existing.rstrip() + "\n\n" + "\n".join(md) + "\n")
-            print(json.dumps({"metric": f"weak_scaling_efficiency_{n_lo}to{n_hi}",
-                              "value": round(gate, 3), "unit": "ratio",
-                              "queries": {"build_eff": round(eff_b, 3),
-                                          "planA_eff": round(eff_qa, 3),
-                                          "wand_eff": round(eff_qw, 3),
-                                          "sharded_eff": round(eff_qs, 3),
-                                          "host_cpu_ceiling": ceil.get("cpu"),
-                                          "host_mem_ceiling": ceil.get("mem"),
-                                          "gate_host_normalized": round(norm(gate), 3)},
-                              "docs": docs_for, "sf": SF_DIR}))
+            out = {"metric": f"weak_scaling_efficiency_{n_lo}to{n_hi}",
+                   "value": round(gate, 3), "unit": "ratio",
+                   "queries": {"build_eff": round(eff_b, 3),
+                               "planA_eff": round(eff_qa, 3),
+                               "wand_eff": round(eff_qw, 3),
+                               "sharded_eff": round(eff_qs, 3),
+                               "host_cpu_ceiling": ceil.get("cpu"),
+                               "host_mem_ceiling": ceil.get("mem"),
+                               "gate_host_normalized": round(norm(gate), 3)},
+                   "docs": docs_for, "sf": SF_DIR}
+            _log_scaling_run(dict(out, mode="weak", passes=passes,
+                                  raw={f"local[{c}]": results[c]
+                                       for c in sorted(results)}))
+            print(json.dumps(out))
             return
         md = [
             "# BENCH/BASELINE.md — measured two-parallelism scaling",
@@ -554,16 +572,20 @@ def main():
                 weak_section = "\n\n" + prev[cut:].rstrip() + "\n"
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("\n".join(md) + weak_section + "\n")
-        print(json.dumps({"metric": f"scaling_efficiency_{n_lo}to{n_hi}",
-                          "value": round(gate, 3), "unit": "ratio",
-                          "queries": {"build_eff": round(eff_b, 3),
-                                      "planA_qps_eff": round(eff_qa, 3),
-                                      "wand_qps_eff": round(eff_qw, 3),
-                                      "sharded_qps_eff": round(eff_qs, 3),
-                                      "host_cpu_ceiling": ceil.get("cpu"),
-                                      "host_mem_ceiling": ceil.get("mem"),
-                                      "gate_host_normalized": round(norm(gate), 3)},
-                          "sf": SF_DIR}))
+        out = {"metric": f"scaling_efficiency_{n_lo}to{n_hi}",
+               "value": round(gate, 3), "unit": "ratio",
+               "queries": {"build_eff": round(eff_b, 3),
+                           "planA_qps_eff": round(eff_qa, 3),
+                           "wand_qps_eff": round(eff_qw, 3),
+                           "sharded_qps_eff": round(eff_qs, 3),
+                           "host_cpu_ceiling": ceil.get("cpu"),
+                           "host_mem_ceiling": ceil.get("mem"),
+                           "gate_host_normalized": round(norm(gate), 3)},
+               "sf": SF_DIR}
+        _log_scaling_run(dict(out, mode="strong", passes=passes,
+                              raw={f"local[{c}]": results[c]
+                                   for c in sorted(results)}))
+        print(json.dumps(out))
         return
 
     if os.environ.get("SPARK_GRAFT_SCALEJOB"):

@@ -7,8 +7,12 @@ Usage:
             [--weighting bm25] [--content-col content] [--compress] [--no-resume]
 
   spark-submit --py-files invertedfiles_jl_spark.zip submit_main.py \
+      shard --index /path/index --output /path/shards [--n-shards 32]
+
+  spark-submit --py-files invertedfiles_jl_spark.zip submit_main.py \
       query --index /path/index --queries /path/queries_parquet \
-            --output /path/results [--k 10] [--plan wand|relational]
+            --output /path/results [--k 10] [--plan wand|relational|sharded] \
+            [--shards /path/shards --n-shards 32]
 
 On a cluster, ship the package with
   `python -m zipfile -c invertedfiles_jl_spark.zip invertedfiles_jl_spark`
@@ -36,13 +40,29 @@ def main(argv=None):
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--salt-df-threshold", type=int, default=10_000)
 
+    s = sub.add_parser("shard", help="persist the doc-sharded serving layout")
+    s.add_argument("--index", required=True)
+    s.add_argument("--output", required=True, help="shards table output directory")
+    s.add_argument("--n-shards", type=int, default=32,
+                   help="shard count; on a cluster set to the executor count")
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
                    help="parquet with (query_id long, content string)")
     q.add_argument("--output", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--plan", default="wand", choices=["wand", "relational"])
+    q.add_argument("--plan", default="wand",
+                   choices=["wand", "relational", "sharded"])
+    q.add_argument("--shards", default=None,
+                   help="persisted shards table (from the `shard` subcommand); "
+                        "with --plan sharded, serves batches with zero per-batch "
+                        "shuffle; omitted, the layout is derived from the index")
+    q.add_argument("--n-shards", type=int, default=32)
+    q.add_argument("--rank-round", type=int, default=None,
+                   help="rank on round(score, n) — makes rankings reproducible "
+                        "across plans/partitionings when scores tie within "
+                        "float-summation noise (pytest parity uses 6)")
     q.add_argument("--dist", default=None,
                    help="set distance for binary indexes (jaccard|dice|cosine_set|intersection)")
 
@@ -69,21 +89,43 @@ def main(argv=None):
 
     from invertedfiles_jl_spark.plans.pipeline import load_index
 
+    if args.cmd == "shard":
+        from invertedfiles_jl_spark.operators.sharded import shard_postings
+
+        idx = load_index(spark, args.index)
+        shard_postings(idx, n_shards=args.n_shards).write.mode(
+            "overwrite").parquet(args.output)
+        print(f"wrote {args.n_shards}-shard serving layout to {args.output}")
+        return 0
+
     idx = load_index(spark, args.index)
     queries = spark.read.parquet(args.queries)
+    rr = args.rank_round
     if idx.cfg.weighting == "binary":
         from invertedfiles_jl_spark.operators.search import set_distance_topk
 
-        res = set_distance_topk(idx, queries, k=args.k, dist=args.dist or "jaccard")
+        res = set_distance_topk(idx, queries, k=args.k,
+                                dist=args.dist or "jaccard", rank_round=rr)
+    elif args.plan == "sharded":
+        from invertedfiles_jl_spark.operators.sharded import load_shards, sharded_topk
+
+        if args.shards:
+            sharded = load_shards(spark, args.shards, n_shards=args.n_shards)
+            res = sharded_topk(idx, queries, k=args.k, sharded=sharded,
+                               assume_colocated=True, rank_round=rr)
+        else:
+            res = sharded_topk(idx, queries, k=args.k, n_shards=args.n_shards,
+                               rank_round=rr)
     elif args.plan == "wand":
         from invertedfiles_jl_spark.operators.wand import wand_topk
 
-        res = wand_topk(idx, queries, k=args.k)
+        res = wand_topk(idx, queries, k=args.k, rank_round=rr)
     else:
         from invertedfiles_jl_spark.operators.search import bm25_topk, cosine_topk
 
-        res = (bm25_topk(idx, queries, k=args.k) if idx.cfg.weighting == "bm25"
-               else cosine_topk(idx, queries, k=args.k))
+        res = (bm25_topk(idx, queries, k=args.k, rank_round=rr)
+               if idx.cfg.weighting == "bm25"
+               else cosine_topk(idx, queries, k=args.k, rank_round=rr))
     res.write.mode("overwrite").parquet(args.output)
     print(f"wrote results to {args.output}")
     return 0

@@ -1,0 +1,82 @@
+"""spark-submit entrypoint (submit_main.py) — the north rule's deploy
+surface: build → shard → query must work end-to-end through the CLI, and
+every query plan must return the same ranking.
+
+Run here via main(argv) against the test SparkSession (spark-submit itself
+owns the config in a real deploy; SparkSession.getOrCreate reuses ours).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import submit_main
+
+
+@pytest.fixture(scope="module")
+def corpus_path(documents, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path_factory.mktemp("cli") / "corpus")
+    documents.select("doc_id", F.col("text").alias("content")).write.mode(
+        "overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus_path, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "index")
+    rc = submit_main.main(["build", "--input", corpus_path, "--index", p])
+    assert rc == 0
+    return p
+
+
+@pytest.fixture(scope="module")
+def queries_path(spark, tmp_path_factory):
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    p = str(tmp_path_factory.mktemp("cli") / "queries")
+    queries_df(spark).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _ranking(spark, path):
+    rows = spark.read.parquet(path).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_cli_build_then_query_all_plans_agree(spark, index_path, queries_path,
+                                              tmp_path):
+    outs = {}
+    for plan in ("wand", "relational", "sharded"):
+        out = str(tmp_path / f"res_{plan}")
+        rc = submit_main.main(["query", "--index", index_path,
+                               "--queries", queries_path, "--output", out,
+                               "--plan", plan, "--rank-round", "6"])
+        assert rc == 0
+        outs[plan] = _ranking(spark, out)
+    assert outs["wand"] and set(outs["wand"]) == set(outs["relational"])
+    assert outs["wand"] == outs["relational"] == outs["sharded"]
+
+
+def test_cli_shard_layout_serves_batches(spark, index_path, queries_path,
+                                         tmp_path):
+    shards = str(tmp_path / "shards")
+    rc = submit_main.main(["shard", "--index", index_path,
+                           "--output", shards, "--n-shards", "4"])
+    assert rc == 0
+    out_served = str(tmp_path / "res_served")
+    rc = submit_main.main(["query", "--index", index_path,
+                           "--queries", queries_path, "--output", out_served,
+                           "--plan", "sharded", "--shards", shards,
+                           "--n-shards", "4", "--rank-round", "6"])
+    assert rc == 0
+    out_direct = str(tmp_path / "res_direct")
+    rc = submit_main.main(["query", "--index", index_path,
+                           "--queries", queries_path, "--output", out_direct,
+                           "--plan", "wand", "--rank-round", "6"])
+    assert rc == 0
+    assert _ranking(spark, out_served) == _ranking(spark, out_direct)

@@ -305,6 +305,20 @@ def _q_sharded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
+def _q_sharded_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary set-distance serving on the doc-sharded layout
+    (operators.sharded.sharded_set_topk) — rank-identical to jaccard_topk,
+    so it shares the jaccard oracle."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+    idx = _index(spark, sf_dir, "binary")
+    res = sharded_set_topk(idx, queries_df(spark), k=10, dist="jaccard",
+                           n_shards=8, rank_round=9)
+    return res.select("query_id", "rank", "doc_id", F.round("dist", 6).alias("dist"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.operators.dedup import exact_duplicates
 
@@ -589,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed_topk": _q_bm25_compressed,
         "wand_bm25_compressed_topk": _q_wand_bm25_compressed,
         "sharded_bm25_topk": _q_sharded_bm25,
+        "sharded_jaccard_topk": _q_sharded_jaccard,
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
         "ngram_set_dups": _q_ngram_dups,
@@ -638,6 +653,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "bm25_compressed_topk": _bm25_sql(),
         "wand_bm25_compressed_topk": _bm25_sql(),
         "sharded_bm25_topk": _bm25_sql(),
+        "sharded_jaccard_topk": _set_dist_sql("jaccard"),
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),

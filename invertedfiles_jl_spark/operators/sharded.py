@@ -80,6 +80,15 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
         F.col("e.doc_ids").alias("doc_id"),
         F.col("e.weights").alias("weight"),
     )
+    if index.cfg.weighting == "binary":
+        # Set-distance serving needs each candidate's |doc| (distinct-term
+        # count) INSIDE its shard; binary entry weights are all 1, so the
+        # weight slot carries the doc's nnz instead.  One extra build-side
+        # shuffle (pairs ⋈ docs on doc_id) folded into the layout cost.
+        flat = flat.drop("weight").join(
+            index.docs.select("doc_id", F.col("nnz").cast("double").alias("weight")),
+            "doc_id",
+        )
     # bucket over the stats-recorded id range; ids outside it (stats drift)
     # raise instead of silently mis-bucketing (see build.range_bucket)
     shard = range_bucket(n_shards, doc_lo, doc_hi)
@@ -206,6 +215,161 @@ def _partition_kernel(qmap_bc, k: int, rank_round, block_size: int):
         yield _emit_topk(per_q, k, rank_round, block_size)
 
     return kernel
+
+
+_OUT_SCHEMA_SET = "query_id long, doc_id long, dist double"
+
+
+def _gather_set(per_q: dict, qmap: dict, pdf) -> None:
+    """Binary-layout gather: per_q[qid] = (id_arrays, nnz_arrays).  The
+    shard's ``weights`` column carries each entry's doc nnz (see the binary
+    branch of :func:`shard_postings`); arrays are shared across the queries
+    matching the row's term, exactly like :func:`_gather`."""
+    tids = pdf["term_id"].to_numpy()
+    ids_col = pdf["doc_ids"].to_numpy()
+    w_col = pdf["weights"].to_numpy()
+    for i in range(len(pdf)):
+        qids = qmap.get(int(tids[i]))
+        if qids is None:
+            continue
+        ids = np.asarray(ids_col[i], dtype=np.int64)
+        nnz = np.asarray(w_col[i], dtype=np.float64)
+        for qid in qids:
+            b = per_q.setdefault(int(qid), ([], []))
+            b[0].append(ids)
+            b[1].append(nnz)
+
+
+def _set_distance_np(dist: str, isize, qs: float, ds):
+    """Vectorized set distances — same expression order as
+    ``search.set_distance_expr`` so doubles match bit-for-bit (each formula
+    is a single chain of IEEE ops over exactly-representable small ints)."""
+    i = isize.astype(np.float64)
+    if dist == "intersection":
+        return 1.0 - i / np.maximum(qs, ds)
+    if dist == "dice":
+        return 1.0 - 2.0 * i / (qs + ds)
+    if dist == "jaccard":
+        return 1.0 - i / (qs + ds - i)
+    if dist == "cosine_set":
+        return 1.0 - i / np.sqrt(qs * ds)
+    raise ValueError(f"unknown set distance {dist!r}")
+
+
+def _emit_set_topk(per_q: dict, qsize: dict, k: int, dist: str, t: int,
+                   rank_round):
+    """Per query: one ``np.unique`` over its concatenated matched lists
+    gives intersection sizes; each doc's nnz rides in the entry weight, so
+    the exact set distance is computable shard-locally.  Shard-local
+    bottom-k under the final window's total order (HALF_UP-rounded dist
+    asc, doc_id asc) is rank-safe, as for the weighted kernel.  No pruning
+    pass: a matched doc's distance needs its exact intersection count, so
+    per-shard work is Σ matched-df — the same bound as the relational plan,
+    minus its per-(query,doc) shuffle."""
+    import pandas as pd
+
+    if not per_q:
+        return pd.DataFrame(
+            {"query_id": np.empty(0, np.int64),
+             "doc_id": np.empty(0, np.int64),
+             "dist": np.empty(0, np.float64)}
+        )
+    out_q, out_d, out_s = [], [], []
+    for qid, (idl, nnzl) in per_q.items():
+        ids = np.concatenate(idl)
+        nnz = np.concatenate(nnzl)
+        uids, first, isize = np.unique(ids, return_index=True, return_counts=True)
+        ds = nnz[first]
+        if t > 1:
+            m = isize >= t
+            uids, ds, isize = uids[m], ds[m], isize[m]
+        if uids.size == 0:
+            continue
+        d = _set_distance_np(dist, isize, float(qsize[qid]), ds)
+        key = _round_half_up(d, rank_round) if rank_round is not None else d
+        sel = np.lexsort((uids, key))[:k]  # dist asc, doc_id asc
+        out_q.append(np.full(len(sel), qid, dtype=np.int64))
+        out_d.append(uids[sel])
+        out_s.append(d[sel])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": np.empty(0, np.int64),
+             "doc_id": np.empty(0, np.int64),
+             "dist": np.empty(0, np.float64)}
+        )
+    return pd.DataFrame(
+        {"query_id": np.concatenate(out_q),
+         "doc_id": np.concatenate(out_d),
+         "dist": np.concatenate(out_s)}
+    )
+
+
+def _set_shard_kernel(qmap_bc, qsize_bc, k: int, dist: str, t: int, rank_round):
+    def kernel(pdf):
+        per_q: dict = {}
+        _gather_set(per_q, qmap_bc.value, pdf)
+        return _emit_set_topk(per_q, qsize_bc.value, k, dist, t, rank_round)
+
+    return kernel
+
+
+def _set_partition_kernel(qmap_bc, qsize_bc, k: int, dist: str, t: int, rank_round):
+    def kernel(batches):
+        per_q: dict = {}
+        for pdf in batches:
+            _gather_set(per_q, qmap_bc.value, pdf)
+        yield _emit_set_topk(per_q, qsize_bc.value, k, dist, t, rank_round)
+
+    return kernel
+
+
+def sharded_set_topk(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    dist: str = "jaccard",
+    t: int = 1,
+    n_shards: int = 32,
+    rank_round: "int | None" = None,
+    sharded: DataFrame | None = None,
+    assume_colocated: bool = False,
+) -> DataFrame:
+    """Batch set-distance (BinaryInvertedFile) top-k over the doc-sharded
+    layout — the cluster-scale serving path for the reference's binary
+    search (/root/reference/src/binvfilesearch.jl:9-34), rank-identical to
+    ``search.set_distance_topk`` (pytest gate).  Same co-location contract
+    as :func:`sharded_topk`; ``t`` is the xmerge t-threshold."""
+    assert index.cfg.weighting == "binary", "index not built with binary weighting"
+    spark = queries.sparkSession
+    qt = query_terms(queries, index.cfg).select("query_id", "term_id")
+    qrows = qt.collect()
+    qmap: dict = {}
+    qsize: dict = {}
+    for r in qrows:
+        qmap.setdefault(int(r["term_id"]), []).append(int(r["query_id"]))
+        qsize[int(r["query_id"])] = qsize.get(int(r["query_id"]), 0) + 1
+    qmap = {tid: np.asarray(v, np.int64) for tid, v in qmap.items()}
+    if not qmap:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, dist double")
+    qmap_bc = spark.sparkContext.broadcast(qmap)
+    qsize_bc = spark.sparkContext.broadcast(qsize)
+
+    if sharded is None:
+        sharded = shard_postings(index, n_shards)
+        assume_colocated = True
+    qterms = spark.createDataFrame([(tid,) for tid in qmap], "term_id long")
+    pruned = sharded.join(F.broadcast(qterms), "term_id", "left_semi")
+    if assume_colocated:
+        partials = pruned.mapInPandas(
+            _set_partition_kernel(qmap_bc, qsize_bc, k, dist, t, rank_round),
+            _OUT_SCHEMA_SET,
+        )
+    else:
+        partials = pruned.groupBy("shard").applyInPandas(
+            _set_shard_kernel(qmap_bc, qsize_bc, k, dist, t, rank_round),
+            _OUT_SCHEMA_SET,
+        )
+    return topk(partials, k, "dist", ascending=True, rank_round=rank_round)
 
 
 def load_shards(spark, path: str, n_shards: int) -> DataFrame:

@@ -214,3 +214,70 @@ def test_sharded_fast_path_load_shards(spark, corpus, tmp_path):
             assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
     finally:
         sharded.unpersist()
+
+
+@pytest.mark.parametrize("dist", ["jaccard", "dice", "cosine_set", "intersection"])
+def test_sharded_set_distance_rank_identical(spark, corpus, dist):
+    """Binary (set-distance) serving on the doc-sharded layout must be
+    rank-identical to the relational set_distance_topk — reference contract
+    /root/reference/src/binvfilesearch.jl:9-34 served at cluster scale."""
+    from invertedfiles_jl_spark.operators.search import set_distance_topk
+    from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    want = _ranked(set_distance_topk(idx, queries_df(spark), k=10,
+                                     dist=dist, rank_round=9), "dist")
+    got = _ranked(sharded_set_topk(idx, queries_df(spark), k=10, dist=dist,
+                                   n_shards=4, rank_round=9), "dist")
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+        for (_, _, a), (_, _, b) in zip(got[q], want[q]):
+            assert math.isclose(a, b, rel_tol=0, abs_tol=1e-12)
+
+
+def test_sharded_set_tthreshold(spark, corpus):
+    """xmerge t-threshold on the sharded binary path ≡ relational t-filter."""
+    from invertedfiles_jl_spark.operators.search import set_distance_topk
+    from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    want = _ranked(set_distance_topk(idx, queries_df(spark), k=10,
+                                     dist="jaccard", t=2, rank_round=9), "dist")
+    got = _ranked(sharded_set_topk(idx, queries_df(spark), k=10, dist="jaccard",
+                                   t=2, n_shards=8, rank_round=9), "dist")
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+
+
+def test_sharded_set_from_written_layout(spark, corpus, tmp_path):
+    """Binary shards written + re-read with deliberate scatter: the safe
+    path's groupBy(shard) restores co-location; nnz rides the weight slot
+    through the parquet round-trip."""
+    from invertedfiles_jl_spark.operators.search import set_distance_topk
+    from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    p = str(tmp_path / "binshards")
+    shard_postings(idx, 8).write.mode("overwrite").parquet(p)
+    sharded = spark.read.parquet(p).repartition(16)  # scatter shards
+    want = _ranked(set_distance_topk(idx, queries_df(spark), k=10,
+                                     dist="cosine_set", rank_round=9), "dist")
+    got = _ranked(sharded_set_topk(idx, queries_df(spark), k=10,
+                                   dist="cosine_set", rank_round=9,
+                                   sharded=sharded), "dist")
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [d for _, d, _ in got[q]] == [d for _, d, _ in want[q]], f"q{q}"
+
+
+def test_binary_shard_layout_carries_nnz(spark, corpus):
+    """Binary shard rows carry each entry's doc nnz in the weight slot —
+    the shard-local dsize source for set distances."""
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    sharded = shard_postings(idx, 4)
+    nnz = {r.doc_id: r.nnz for r in idx.docs.select("doc_id", "nnz").collect()}
+    row = sharded.first()
+    for d, w in zip(row["doc_ids"], row["weights"]):
+        assert w == float(nnz[d])

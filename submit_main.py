@@ -102,10 +102,27 @@ def main(argv=None):
     queries = spark.read.parquet(args.queries)
     rr = args.rank_round
     if idx.cfg.weighting == "binary":
-        from invertedfiles_jl_spark.operators.search import set_distance_topk
+        if args.plan == "sharded":
+            from invertedfiles_jl_spark.operators.sharded import (
+                load_shards,
+                sharded_set_topk,
+            )
 
-        res = set_distance_topk(idx, queries, k=args.k,
-                                dist=args.dist or "jaccard", rank_round=rr)
+            if args.shards:
+                sharded = load_shards(spark, args.shards, n_shards=args.n_shards)
+                res = sharded_set_topk(idx, queries, k=args.k,
+                                       dist=args.dist or "jaccard",
+                                       sharded=sharded, assume_colocated=True,
+                                       rank_round=rr)
+            else:
+                res = sharded_set_topk(idx, queries, k=args.k,
+                                       dist=args.dist or "jaccard",
+                                       n_shards=args.n_shards, rank_round=rr)
+        else:
+            from invertedfiles_jl_spark.operators.search import set_distance_topk
+
+            res = set_distance_topk(idx, queries, k=args.k,
+                                    dist=args.dist or "jaccard", rank_round=rr)
     elif args.plan == "sharded":
         from invertedfiles_jl_spark.operators.sharded import load_shards, sharded_topk
 

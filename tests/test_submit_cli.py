@@ -80,3 +80,28 @@ def test_cli_shard_layout_serves_batches(spark, index_path, queries_path,
                            "--plan", "wand", "--rank-round", "6"])
     assert rc == 0
     assert _ranking(spark, out_served) == _ranking(spark, out_direct)
+
+
+def test_cli_binary_sharded_plan(spark, corpus_path, queries_path, tmp_path):
+    """Binary index through the CLI: build → shard → query with
+    --plan sharded (served layout) must match --plan relational."""
+    idx = str(tmp_path / "binidx")
+    rc = submit_main.main(["build", "--input", corpus_path, "--index", idx,
+                           "--weighting", "binary"])
+    assert rc == 0
+    shards = str(tmp_path / "binshards")
+    rc = submit_main.main(["shard", "--index", idx, "--output", shards,
+                           "--n-shards", "4"])
+    assert rc == 0
+    out_served = str(tmp_path / "bin_served")
+    rc = submit_main.main(["query", "--index", idx, "--queries", queries_path,
+                           "--output", out_served, "--plan", "sharded",
+                           "--shards", shards, "--n-shards", "4",
+                           "--dist", "jaccard", "--rank-round", "9"])
+    assert rc == 0
+    out_rel = str(tmp_path / "bin_rel")
+    rc = submit_main.main(["query", "--index", idx, "--queries", queries_path,
+                           "--output", out_rel, "--plan", "relational",
+                           "--dist", "jaccard", "--rank-round", "9"])
+    assert rc == 0
+    assert _ranking(spark, out_served) == _ranking(spark, out_rel)

@@ -275,6 +275,17 @@ def run_once(cpus: int) -> dict:
             bm25_path, IndexConfig(weighting="binary"))
         bidx = load_index(spark, bin_path)
         out["jaccard_100q"] = timed_query(set_distance_topk, bidx, qdf, k=10, dist="jaccard")
+
+        # binary serving on the doc-sharded layout (sharded_set_topk):
+        # same zero-per-batch-shuffle contract as the BM25 sharded row
+        from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+        shard_postings(bidx, n_shards=CPUS).write.mode("overwrite").parquet(f"{tmp}/binshards")
+        bsharded = load_shards(spark, f"{tmp}/binshards", n_shards=CPUS)
+        bsharded.count()
+        out["jaccard_sharded_100q"] = timed_query(
+            sharded_set_topk, bidx, qdf, k=10, dist="jaccard",
+            sharded=bsharded, assume_colocated=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

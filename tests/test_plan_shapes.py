@@ -163,3 +163,36 @@ def test_plan_c_results_still_correct(spark, served):
     g = {(r.query_id, r.rank): r.doc_id for r in got.collect()}
     w = {(r.query_id, r.rank): r.doc_id for r in want.collect()}
     assert g == w
+
+
+def test_plan_c_binary_set_colocated_single_wide_exchange(spark, documents,
+                                                          tmp_path_factory):
+    """The binary sharded set-distance serve must keep Plan C's physical
+    shape: semi-join prune JVM-side, kernel over the cached co-located
+    shards IN PLACE, single per-batch query_id exchange for the final
+    merge."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.sharded import sharded_set_topk
+
+    root = str(tmp_path_factory.mktemp("binplanshape"))
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    build_checkpointed(corpus, f"{root}/idx",
+                       IndexConfig(weighting="binary"), resume=False)
+    idx = load_index(spark, f"{root}/idx")
+    shard_postings(idx, n_shards=8).write.mode("overwrite").parquet(
+        f"{root}/shards")
+    shards = load_shards(spark, f"{root}/shards", n_shards=8)
+    shards.count()
+    plan = formatted_plan(
+        sharded_set_topk(idx, queries_df(spark), k=10, dist="jaccard",
+                         sharded=shards, assume_colocated=True))
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan
+    parts = _exchange_partitionings(plan)
+    on_query = [p for p in parts if "query_id" in p]
+    rest = [p for p in parts if "query_id" not in p]
+    assert len(on_query) == 1, f"{parts}\n{plan}"
+    assert all(p.startswith("hashpartitioning(shard") for p in rest), parts
+    shards.unpersist()

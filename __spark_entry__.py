@@ -425,6 +425,93 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank (RRF).
+
+    Doc-as-query over the first 5 ids: the text side queries the BM25
+    inverted index with document i's own text, the dense side queries the
+    embedding table with vector i (fixture contract: embeddings row i
+    embeds document i).  Each side contributes its top-20 ranks; candidates
+    fuse on doc_id ≡ vec_id with rrf = Σ 1/(60 + rank)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.hybrid import hybrid_rrf_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    emb = _emb(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    tq = corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "content")
+    res = hybrid_rrf_topk(idx, emb, tq, _equeries(emb), k=10, depth=20, rrf_k=60)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("rrf", 6).alias("rrf"), "n_lists")
+
+
+def _hybrid_rrf_sql(k: int = 10, depth: int = 20, rrf_k: int = 60,
+                    n_queries: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_hybrid_rrf` — BM25 CTE shape from
+    ``_bm25_sql`` (doc-as-query: qtf comes straight from tf), dense side
+    from ``plans.oracles.ann_bruteforce_sql`` without self-exclusion, RRF
+    combine.  A candidate joins ≤2 lists and IEEE addition of two doubles
+    is commutative, so the rrf sum is bit-stable for the value hash."""
+    cos = _osql._cos("vq.q_emb", "e.embedding")
+    return f"""
+WITH {_BASE_CTES},
+hq AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id < {n_queries}),
+hqterm AS (
+  SELECT query_id, hq.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM hq JOIN vocab ON hq.term = vocab.term CROSS JOIN stats
+),
+sparse_scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM hqterm
+  JOIN tf ON hqterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM sparse_scored
+),
+vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+dense_scored AS (
+  SELECT vq.query_id, e.vec_id AS doc_id, {cos} AS cos
+  FROM vq CROSS JOIN embeddings e
+),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, doc_id ASC) AS rank
+  FROM dense_scored
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         1.0 / ({float(rrf_k)} + CAST(rank AS DOUBLE)) AS c FROM sparse WHERE rank <= {depth}
+  UNION ALL
+  SELECT query_id, doc_id,
+         1.0 / ({float(rrf_k)} + CAST(rank AS DOUBLE)) AS c FROM dense WHERE rank <= {depth}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf, n_lists,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(rrf, 9) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf, n_lists
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-then-append build, flattened postings — oracle is the FULL-build
     posting relation, proving append ≡ rebuild."""
@@ -614,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "incremental_postings": _q_incremental_postings,
@@ -664,6 +752,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fingerprint": _osql.fingerprint_sql(),
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
         "embedding_near_dups_exact": _osql.embedding_near_dups_sql(

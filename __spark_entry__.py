@@ -425,6 +425,50 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming top-k serve (applyInPandasWithState), driven to
+    completion with availableNow over the corpus split into two micro-
+    batches.  Scoring stats (idf/avgdl/N) are frozen from the full-corpus
+    index snapshot, so the final emission equals batch BM25 over the same
+    corpus — which is exactly ``_bm25_sql()``: a custom stateful streaming
+    operator with a FULL value-hash oracle, not a rows-only check."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.sources.queries import queries_df
+    from invertedfiles_jl_spark.streaming.serve import streaming_bm25_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ifstream_gate_")
+    half = int(idx.stats["n_docs"]) // 2
+    corpus.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{tmp}/src/p1")
+    corpus.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{tmp}/src/p2")
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/src")
+    )
+    out = streaming_bm25_topk(stream, idx, queries_df(spark), k=10, rank_round=6)
+    q = (
+        out.writeStream.format("memory").queryName("stream_topk_gate")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table("stream_topk_gate")
+    w = Window.partitionBy("query_id")
+    final = emitted.withColumn("mx", F.max("n_seen").over(w)).filter(
+        F.col("n_seen") == F.col("mx"))
+    return final.select("query_id", "rank", "doc_id",
+                        F.round("score", 5).alias("score"))
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank (RRF).
 
@@ -702,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        "streaming_bm25_topk": _q_streaming_topk,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "incremental_postings": _q_incremental_postings,
@@ -753,6 +798,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "streaming_bm25_topk": _bm25_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
         "embedding_near_dups_exact": _osql.embedding_near_dups_sql(

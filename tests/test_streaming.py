@@ -43,3 +43,50 @@ def test_stream_append_equals_rebuild(spark, documents, tmp_path):
     b = {(r["query_id"], r["rank"]): r["doc_id"]
          for r in set_distance_topk(ref, queries_df(spark), 10, "jaccard").collect()}
     assert a == b
+
+
+def test_streaming_topk_matches_batch_bm25(spark, documents, tmp_path):
+    """Stream the corpus in two micro-batches through the stateful top-k
+    server (frozen-idf scoring); the final emission per query must be
+    rank-identical to the batch engine over the full corpus."""
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+    from invertedfiles_jl_spark.streaming.serve import streaming_bm25_topk
+
+    base = documents.select("doc_id", F.col("text").alias("content"))
+    cfg = IndexConfig(weighting="bm25", weight_dtype="double")
+    idx = build_index(base, cfg)  # snapshot: frozen idf/avgdl/N
+    qdf = queries_df(spark)
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    base.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src + "/p1")
+    base.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(src + "/p2")
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+
+    out = streaming_bm25_topk(stream, idx, qdf, k=10, rank_round=6)
+    q = (
+        out.writeStream.format("memory").queryName("topk_serve")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "serve_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM topk_serve").collect()
+    assert emitted, "stream emitted nothing"
+    # latest emission per query = rows carrying that query's max n_seen
+    latest_seen = {}
+    for r in emitted:
+        latest_seen[r["query_id"]] = max(latest_seen.get(r["query_id"], 0), r["n_seen"])
+    final = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+             for r in emitted if r["n_seen"] == latest_seen[r["query_id"]]}
+
+    ref = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+           for r in bm25_topk(idx, qdf, k=10, rank_round=6).collect()}
+    assert final == ref

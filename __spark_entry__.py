@@ -97,8 +97,14 @@ qt AS (
 """.replace("{queries}", queries_values_sql())
 
 
-def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, t: int = 1) -> str:
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, t: int = 1,
+              accept_where: str = "") -> str:
+    """``accept_where`` — optional SQL predicate over ``documents`` rows;
+    when set, mirrors filtered retrieval (search._accept): idf/avgdl/N stay
+    full-corpus, non-accepted docs are dropped pre-aggregation."""
     having = f"HAVING count(*) >= {t}" if t > 1 else ""
+    accept = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {accept_where})"
+              if accept_where else "")
     return f"""
 WITH {_BASE_CTES},
 qterm AS (
@@ -114,6 +120,7 @@ scored AS (
   JOIN tf ON qterm.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
+  {accept}
   GROUP BY query_id, tf.doc_id {having}
 ),
 ranked AS (
@@ -201,6 +208,21 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir, "bm25")
     res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval: BM25 top-k restricted to an accept set from a
+    metadata predicate (lang = 'en') — full-corpus idf/avgdl, non-accepted
+    docs never enter the pool (search._accept)."""
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "bm25")
+    accept = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en").select("doc_id")
+    )
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6, accept_docs=accept)
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
@@ -719,6 +741,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25,
+        "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_tthreshold2": _q_bm25_t2,
         "cosine_topk": _q_cosine,
         "jaccard_topk": _q_set("jaccard"),
@@ -765,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(),
+        "bm25_filtered_topk": _bm25_sql(accept_where="lang = 'en'"),
         "bm25_tthreshold2": _bm25_sql(t=2),
         "cosine_topk": _cosine_sql(),
         "jaccard_topk": _set_dist_sql("jaccard"),

@@ -83,6 +83,25 @@ def _matched(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     )
 
 
+def _accept(m: DataFrame, accept_docs: DataFrame | None) -> DataFrame:
+    """Doc-level accept-set filter — the engine's extension of the
+    reference's accept-predicate hook (``search_invfile`` threads an accept
+    function through the merge, /root/reference/src/invfilesearch.jl:36-44;
+    there it prunes posting lists by weight, here a metadata predicate
+    prunes candidate DOCS).  Semantics of filtered retrieval: idf/avgdl/N
+    stay FULL-corpus (scores are unchanged), rejected docs simply never
+    enter the result pool.
+
+    Applied to the matched rows BEFORE aggregation, so rejected candidates
+    are dropped ahead of the agg shuffle and the top-k window.  A left-semi
+    join keyed on doc_id: Catalyst/AQE picks broadcast vs shuffle from the
+    accept side's actual size (a ``lang = 'python'`` slice of a 10^12-file
+    corpus is NOT broadcastable — don't hint it)."""
+    if accept_docs is None:
+        return m
+    return m.join(accept_docs.select("doc_id"), "doc_id", "left_semi")
+
+
 def topk(scored: DataFrame, k: int, score_col: str = "score",
          ascending: bool = False, rank_round: int | None = None) -> DataFrame:
     """Deterministic per-query top-k: (score, doc_id asc) tie-break —
@@ -112,12 +131,16 @@ def _tfilter(scored: DataFrame, t: int) -> DataFrame:
 
 
 def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
-              rank_round: int | None = None, t: int = 1) -> DataFrame:
+              rank_round: int | None = None, t: int = 1,
+              accept_docs: DataFrame | None = None) -> DataFrame:
     """BM25 top-k.  Stored weight is the saturated length-normalized tf
     (build-time fold); idf joins in from vocab at query time.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ qtf · idf · sat_tf.
     ``t`` — xmerge t-threshold (docs in < t query-term lists dropped).
+    ``accept_docs`` — optional (doc_id) accept set for filtered retrieval
+    (see :func:`_accept`): scores keep full-corpus stats, non-accepted docs
+    never enter the pool.
     """
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
     n = float(index.stats["n_docs"])
@@ -129,7 +152,7 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         "query_id", "term_id", "qtf",
         F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
-    m = _matched(index, qt)
+    m = _accept(_matched(index, qt), accept_docs)
     scored = m.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
@@ -138,7 +161,8 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
 
 
 def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
-                rank_round: int | None = None, t: int = 1) -> DataFrame:
+                rank_round: int | None = None, t: int = 1,
+                accept_docs: DataFrame | None = None) -> DataFrame:
     """Normalized-cosine *distance* top-k — WeightedInvertedFile parity
     (distance fixed to NormCosine, /root/reference/src/winvfile.jl:30;
     dist = 1 − Σ q·w, /root/reference/src/winvfilesearch.jl:8-16).
@@ -149,7 +173,7 @@ def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     qt = qt.join(qnorm, "query_id").select(
         "query_id", "term_id", (F.col("qtf") / F.col("qn")).alias("qw"),
     ).withColumnRenamed("qw", "qtf")
-    m = _matched(index, qt)
+    m = _accept(_matched(index, qt), accept_docs)
     scored = m.groupBy("query_id", "doc_id").agg(
         (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist"),
         F.count(F.lit(1)).alias("n_matched"),
@@ -177,7 +201,8 @@ def set_distance_expr(dist: str):
 
 def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
                       dist: str = "jaccard", t: int = 1,
-                      rank_round: int | None = None) -> DataFrame:
+                      rank_round: int | None = None,
+                      accept_docs: DataFrame | None = None) -> DataFrame:
     """BinaryInvertedFile search: intersection-size merge + set distance
     (/root/reference/src/binvfilesearch.jl:9-34).  ``t`` is the xmerge
     t-threshold — docs present in < t query-term lists are dropped
@@ -185,7 +210,7 @@ def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     assert index.cfg.weighting == "binary", "index not built with binary weighting"
     qt = query_terms(queries, index.cfg).select("query_id", "term_id")  # distinct terms
     qsize = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qsize"))
-    m = _matched(index, qt.withColumn("qtf", F.lit(1)))
+    m = _accept(_matched(index, qt.withColumn("qtf", F.lit(1))), accept_docs)
     inter = m.groupBy("query_id", "doc_id").agg(F.count(F.lit(1)).alias("isize"))
     if t > 1:
         inter = inter.filter(F.col("isize") >= t)

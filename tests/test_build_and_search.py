@@ -129,3 +129,31 @@ def test_salting_preserves_results(corpus, texts, spark):
     for qid, qtext in QUERY_SET:
         gold = oracle.topk_of(oracle.bm25_scores(texts, qtext), 10, ascending=False)
         assert [d for _, d, _ in got.get(qid, [])] == [d for d, _ in gold], f"q{qid}"
+
+
+def test_filtered_bm25_equals_postfiltered_full_ranking(corpus, documents, spark):
+    """Filtered retrieval contract: accept-set top-k == take the FULL
+    unfiltered ranking (k = corpus size), drop non-accepted docs, re-rank,
+    truncate to k.  Scores must be identical (full-corpus idf/avgdl — a
+    rebuild on the accepted subset would change them, which is NOT the
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25", weight_dtype="double"))
+    accept = documents.filter(F.col("lang") == "en").select("doc_id")
+    accepted_ids = {r["doc_id"] for r in accept.collect()}
+    assert accepted_ids, "fixture must accept some docs"
+    n_docs = corpus.count()
+    assert len(accepted_ids) < n_docs, "filter must reject some docs"
+
+    got = _collect_topk(
+        bm25_topk(idx, queries_df(spark), k=10, rank_round=6, accept_docs=accept))
+
+    full = {}
+    for r in bm25_topk(idx, queries_df(spark), k=n_docs, rank_round=6).collect():
+        full.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, rows in full.items():
+        kept = [(d, s) for _, d, s in sorted(rows) if d in accepted_ids][:10]
+        want = [(i + 1, d, s) for i, (d, s) in enumerate(kept)]
+        have = [(rk, d, round(s, 9)) for rk, d, s in got.get(qid, [])]
+        assert have == [(rk, d, round(s, 9)) for rk, d, s in want], f"q{qid}"

@@ -454,7 +454,9 @@ def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index snapshot, so the final emission equals batch BM25 over the same
     corpus — which is exactly ``_bm25_sql()``: a custom stateful streaming
     operator with a FULL value-hash oracle, not a rows-only check."""
+    import shutil
     import tempfile
+    import uuid
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -465,25 +467,38 @@ def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir, "bm25")
     corpus = _corpus(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ifstream_gate_")
-    half = int(idx.stats["n_docs"]) // 2
-    corpus.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{tmp}/src/p1")
-    corpus.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{tmp}/src/p2")
-    stream = (
-        spark.readStream.schema("doc_id long, content string")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(f"{tmp}/src")
-    )
-    out = streaming_bm25_topk(stream, idx, queries_df(spark), k=10, rank_round=6)
-    q = (
-        out.writeStream.format("memory").queryName("stream_topk_gate")
-        .outputMode("update")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    emitted = spark.table("stream_topk_gate")
+    # unique sink name per invocation: a fixed name would retain stale rows
+    # if the gate runs twice in one session
+    sink = f"stream_topk_gate_{uuid.uuid4().hex[:12]}"
+    try:
+        half = int(idx.stats["n_docs"]) // 2
+        corpus.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{tmp}/src/p1")
+        corpus.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{tmp}/src/p2")
+        stream = (
+            spark.readStream.schema("doc_id long, content string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/src")
+        )
+        out = streaming_bm25_topk(stream, idx, queries_df(spark), k=10, rank_round=6)
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming top-k gate did not drain within 300s — refusing "
+                "to compare a partial emission against the full-corpus oracle")
+        # memory-sink rows live on the driver; pin them before the source
+        # parquet + checkpoint under tmp are removed
+        emitted = spark.createDataFrame(
+            spark.table(sink).collect(), spark.table(sink).schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     w = Window.partitionBy("query_id")
     final = emitted.withColumn("mx", F.max("n_seen").over(w)).filter(
         F.col("n_seen") == F.col("mx"))

@@ -110,41 +110,112 @@ def shard_postings(index: InvertedIndex, n_shards: int = 32) -> DataFrame:
     )
 
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+def _match_rows(qmap: dict, tids: np.ndarray, weighted: bool = True):
+    """Expand the batch's rows against the query map in numpy: yields
+    ``(qid, row_indices, qws)`` groups — every (row × matching-query)
+    pair produced by ONE repeat/concatenate/argsort pass instead of a
+    per-pair Python append loop (r3 verdict perf finding #3).
+
+    ``qmap`` values are ``(qids, qws)`` tuples when ``weighted`` else
+    plain qid arrays (the binary layout), in which case the yielded
+    ``qws`` is a zero placeholder.  One ``qmap`` lookup per UNIQUE term
+    in the batch; the per-pair bookkeeping (repeat row ids, concat
+    qids/qws, stable-sort by qid, split at group boundaries) is all
+    C-side."""
+    utids, inv = np.unique(tids, return_inverse=True)
+    hits = [qmap.get(int(t)) for t in utids]
+    if weighted:
+        qids_of = [_EMPTY_I64 if h is None else h[0] for h in hits]
+        qws_of = [_EMPTY_F64 if h is None else h[1] for h in hits]
+    else:
+        qids_of = [_EMPTY_I64 if h is None else h for h in hits]
+        qws_of = [np.zeros(len(q), np.float64) for q in qids_of]
+    per_term_n = np.array([len(q) for q in qids_of], dtype=np.int64)
+    counts = per_term_n[inv]
+    row_of = np.repeat(np.arange(len(tids), dtype=np.int64), counts)
+    if row_of.size == 0:
+        return []
+    qid_all = np.concatenate([qids_of[t] for t in inv])
+    qw_all = np.concatenate([qws_of[t] for t in inv])
+    order = np.argsort(qid_all, kind="stable")
+    qid_s, qw_s, row_s = qid_all[order], qw_all[order], row_of[order]
+    bounds = np.flatnonzero(np.r_[True, qid_s[1:] != qid_s[:-1]])
+    ends = np.r_[bounds[1:], len(qid_s)]
+    # plain-int row indices: indexing Python lists with np.int64 scalars
+    # pays a per-item conversion; tolist() once is C-side
+    row_l = row_s.tolist()
+    return [(int(qid_s[b]), row_l[b:e], qw_s[b:e])
+            for b, e in zip(bounds.tolist(), ends.tolist())]
+
+
 def _gather(per_q: dict, qmap: dict, pdf) -> None:
     """Bucket the batch's matched posting rows per query: per_q[qid] =
     (qws, id_arrays, w_arrays, bm_arrays, maxws) — the argument shape of
     ``wand.maxscore_pool``.  Arrays convert to numpy once per ROW and are
-    shared (not copied) across the queries matching the row's term."""
+    shared (not copied) across the queries matching the row's term; the
+    (row × query) expansion itself is vectorized (:func:`_match_rows`),
+    so interpreter work is one list-comp entry per pair, not a dict
+    lookup + five appends."""
     tids = pdf["term_id"].to_numpy()
+    groups = _match_rows(qmap, tids)
+    if not groups:
+        return
     ids_col = pdf["doc_ids"].to_numpy()
     w_col = pdf["weights"].to_numpy()
     mw_col = pdf["max_weight"].to_numpy(dtype=np.float64)
     bm_col = pdf["block_max"].to_numpy() if "block_max" in pdf.columns else None
-    for i in range(len(pdf)):
-        hit = qmap.get(int(tids[i]))
-        if hit is None:
-            continue
-        ids = np.asarray(ids_col[i], dtype=np.int64)
-        ws = np.asarray(w_col[i], dtype=np.float64)
-        bm = (np.asarray(bm_col[i], dtype=np.float64)
-              if bm_col is not None and bm_col[i] is not None else None)
-        mw = float(mw_col[i])
-        for qid, qw in zip(*hit):
-            b = per_q.setdefault(int(qid), ([], [], [], [], []))
-            b[0].append(float(qw))
-            b[1].append(ids)
-            b[2].append(ws)
-            b[3].append(bm)
-            b[4].append(mw)
+    ids_np = [np.asarray(x, dtype=np.int64) for x in ids_col]
+    ws_np = [np.asarray(x, dtype=np.float64) for x in w_col]
+    bm_np = (None if bm_col is None else
+             [None if x is None else np.asarray(x, dtype=np.float64)
+              for x in bm_col])
+    mw_l = mw_col.tolist()
+    for qid, rows, qws in groups:
+        b = per_q.setdefault(qid, ([], [], [], [], []))
+        b[0].extend(qws.tolist())
+        b[1].extend(map(ids_np.__getitem__, rows))
+        b[2].extend(map(ws_np.__getitem__, rows))
+        if bm_np is None:
+            b[3].extend([None] * len(rows))
+        else:
+            b[3].extend(map(bm_np.__getitem__, rows))
+        b[4].extend(map(mw_l.__getitem__, rows))
+
+
+# Below this many total matched entries for one query, MaxScore's ~30
+# small-numpy calls per list cost more than just scoring everything: the
+# exact score-all path (one concatenate + unique + bincount) is ~30× faster
+# at bench list sizes, while long posting lists (the 100-TB regime) still
+# get block-max pruning.  Both paths are exact, so the cutoff is a pure
+# performance knob — rank identity holds either way (pytest gate).
+PRUNE_MIN_ENTRIES = 4096
+
+
+def _score_all(qws, idl, wl):
+    """Exact un-pruned scoring of one query's matched lists: one
+    concatenate + unique + bincount — O(tot·log tot) C-side, no per-list
+    Python beyond the contrib multiply."""
+    ids = np.concatenate(idl)
+    lens = np.fromiter(map(len, wl), dtype=np.int64, count=len(wl))
+    contrib = np.concatenate(wl) * np.repeat(np.asarray(qws, np.float64), lens)
+    uids, inv = np.unique(ids, return_inverse=True)
+    return uids, np.bincount(inv, weights=contrib, minlength=len(uids))
 
 
 def _emit_topk(per_q: dict, k: int, rank_round, block_size: int,
-               stats: "dict | None" = None):
+               stats: "dict | None" = None,
+               prune_min_entries: int = PRUNE_MIN_ENTRIES):
     """Per query: MaxScore + block-max prune (``wand.maxscore_pool``) over
-    its gathered lists, then the shard-local top-k cut under the SAME total
-    order as the final window (HALF_UP-rounded score desc, doc_id asc).
-    Rank-safe: the pool is guaranteed to contain every doc whose rounded
-    score can reach the rounded kth, with exact scores."""
+    its gathered lists — or, when the query's total matched entries are
+    below ``prune_min_entries``, the exact :func:`_score_all` fast path —
+    then the shard-local top-k cut under the SAME total order as the final
+    window (HALF_UP-rounded score desc, doc_id asc).  Rank-safe: both paths
+    yield every doc whose rounded score can reach the rounded kth, with
+    exact scores."""
     import pandas as pd
 
     from invertedfiles_jl_spark.operators.wand import maxscore_pool
@@ -157,9 +228,13 @@ def _emit_topk(per_q: dict, k: int, rank_round, block_size: int,
         )
     out_q, out_d, out_s = [], [], []
     for qid, (qws, idl, wl, bml, mwl) in per_q.items():
-        uids, scores, st = maxscore_pool(qws, idl, wl, bml, mwl,
-                                         k, rank_round, block_size)
-        if stats is not None:
+        if sum(map(len, idl)) < prune_min_entries:
+            uids, scores = _score_all(qws, idl, wl)
+            st = None
+        else:
+            uids, scores, st = maxscore_pool(qws, idl, wl, bml, mwl,
+                                             k, rank_round, block_size)
+        if stats is not None and st is not None:
             stats["pruned"] += st["pruned"]
             stats["block_skipped"] += st["block_skipped"]
         if uids.size == 0:
@@ -182,7 +257,8 @@ def _emit_topk(per_q: dict, k: int, rank_round, block_size: int,
     )
 
 
-def _shard_kernel(qmap_bc, k: int, rank_round, block_size: int):
+def _shard_kernel(qmap_bc, k: int, rank_round, block_size: int,
+                  prune_min_entries: int = PRUNE_MIN_ENTRIES):
     """applyInPandas kernel (safe path): one call per shard group — gather
     the shard's matched rows per query, MaxScore-prune, emit the shard's
     top-k per query.
@@ -196,12 +272,14 @@ def _shard_kernel(qmap_bc, k: int, rank_round, block_size: int):
     def kernel(pdf):
         per_q: dict = {}
         _gather(per_q, qmap_bc.value, pdf)
-        return _emit_topk(per_q, k, rank_round, block_size)
+        return _emit_topk(per_q, k, rank_round, block_size,
+                          prune_min_entries=prune_min_entries)
 
     return kernel
 
 
-def _partition_kernel(qmap_bc, k: int, rank_round, block_size: int):
+def _partition_kernel(qmap_bc, k: int, rank_round, block_size: int,
+                      prune_min_entries: int = PRUNE_MIN_ENTRIES):
     """mapInPandas kernel (co-located fast path): gather across ALL of
     the partition's Arrow batches, emit one top-k per query per PARTITION.
     Correct whenever every doc's rows live inside one partition — which
@@ -212,7 +290,8 @@ def _partition_kernel(qmap_bc, k: int, rank_round, block_size: int):
         per_q: dict = {}
         for pdf in batches:
             _gather(per_q, qmap_bc.value, pdf)
-        yield _emit_topk(per_q, k, rank_round, block_size)
+        yield _emit_topk(per_q, k, rank_round, block_size,
+                         prune_min_entries=prune_min_entries)
 
     return kernel
 
@@ -224,20 +303,20 @@ def _gather_set(per_q: dict, qmap: dict, pdf) -> None:
     """Binary-layout gather: per_q[qid] = (id_arrays, nnz_arrays).  The
     shard's ``weights`` column carries each entry's doc nnz (see the binary
     branch of :func:`shard_postings`); arrays are shared across the queries
-    matching the row's term, exactly like :func:`_gather`."""
+    matching the row's term, and the (row × query) expansion is the same
+    vectorized :func:`_match_rows` pass as :func:`_gather`."""
     tids = pdf["term_id"].to_numpy()
+    groups = _match_rows(qmap, tids, weighted=False)
+    if not groups:
+        return
     ids_col = pdf["doc_ids"].to_numpy()
     w_col = pdf["weights"].to_numpy()
-    for i in range(len(pdf)):
-        qids = qmap.get(int(tids[i]))
-        if qids is None:
-            continue
-        ids = np.asarray(ids_col[i], dtype=np.int64)
-        nnz = np.asarray(w_col[i], dtype=np.float64)
-        for qid in qids:
-            b = per_q.setdefault(int(qid), ([], []))
-            b[0].append(ids)
-            b[1].append(nnz)
+    ids_np = [np.asarray(x, dtype=np.int64) for x in ids_col]
+    nnz_np = [np.asarray(x, dtype=np.float64) for x in w_col]
+    for qid, rows, _ in groups:
+        b = per_q.setdefault(qid, ([], []))
+        b[0].extend(map(ids_np.__getitem__, rows))
+        b[1].extend(map(nnz_np.__getitem__, rows))
 
 
 def _set_distance_np(dist: str, isize, qs: float, ds):
@@ -388,6 +467,7 @@ def sharded_topk(
     rank_round: "int | None" = None,
     sharded: DataFrame | None = None,
     assume_colocated: bool = False,
+    prune_min_entries: int = PRUNE_MIN_ENTRIES,
 ) -> DataFrame:
     """Batch BM25 (or dot-product) top-k over a doc-sharded layout.
 
@@ -444,12 +524,14 @@ def sharded_topk(
     block_size = int(index.cfg.block_size)
     if assume_colocated:
         partials = pruned.mapInPandas(
-            _partition_kernel(qmap_bc, k, rank_round, block_size), _OUT_SCHEMA
+            _partition_kernel(qmap_bc, k, rank_round, block_size,
+                              prune_min_entries), _OUT_SCHEMA
         )
     else:
         # arbitrary layout: one groupBy(shard) shuffle of the matched rows
         # restores co-location before the kernel
         partials = pruned.groupBy("shard").applyInPandas(
-            _shard_kernel(qmap_bc, k, rank_round, block_size), _OUT_SCHEMA
+            _shard_kernel(qmap_bc, k, rank_round, block_size,
+                          prune_min_entries), _OUT_SCHEMA
         )
     return topk(partials, k, "score", ascending=False, rank_round=rank_round)

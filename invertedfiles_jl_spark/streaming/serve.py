@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.operators.build import InvertedIndex, term_id_col
 from invertedfiles_jl_spark.operators.search import query_terms
+from invertedfiles_jl_spark.operators.wand import round_half_up
+
+
+def rank_pool(ids, sc, k: int, rank_round: int):
+    """Cut a candidate pool to the top-k under the repo-wide rank identity
+    (round_half_up(score, rank_round) desc, doc_id asc) — the ``knnqueue``
+    (KnnSorted) order, /root/reference/src/InvertedFiles.jl:57.  HALF_UP,
+    never ``np.round`` (half-to-even), so a boundary score ranks identically
+    to ``search.topk``'s ``F.round`` and the DuckDB oracle."""
+    import numpy as np
+
+    order = np.lexsort((ids, -round_half_up(sc, rank_round)))[:k]
+    return ids[order], sc[order]
 
 
 def standing_queries(index: InvertedIndex, queries: DataFrame) -> DataFrame:
@@ -108,11 +121,9 @@ def streaming_bm25_topk(stream_docs: DataFrame, index: InvertedIndex,
             doc_ids.extend(int(d) for d in per_doc.index)
             scores.extend(float(s) for s in per_doc.to_numpy())
         if doc_ids:
-            ids = np.asarray(doc_ids, dtype=np.int64)
-            sc = np.asarray(scores, dtype=np.float64)
-            # (round(score) desc, doc_id asc) — KnnSorted rank identity
-            order = np.lexsort((ids, -np.round(sc, rank_round)))[:k]
-            ids, sc = ids[order], sc[order]
+            ids, sc = rank_pool(
+                np.asarray(doc_ids, dtype=np.int64),
+                np.asarray(scores, dtype=np.float64), k, rank_round)
         else:
             ids = np.empty(0, dtype=np.int64)
             sc = np.empty(0, dtype=np.float64)

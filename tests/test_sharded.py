@@ -150,7 +150,11 @@ def test_sharded_kernel_block_skips():
     per_q: dict = {}
     _gather(per_q, qmap, pdf)
     stats = {"pruned": 0, "block_skipped": 0}
-    out = _emit_topk(per_q, 3, 6, bs, stats=stats)
+    # prune_min_entries=0 forces the MaxScore path — this test gates the
+    # pruning machinery itself (the default would take the small-batch
+    # exact score-all fast path; rank identity between the two is gated by
+    # test_emit_topk_fast_path_rank_identical)
+    out = _emit_topk(per_q, 3, 6, bs, stats=stats, prune_min_entries=0)
     assert stats["block_skipped"] > 0
     assert stats["pruned"] >= stats["block_skipped"]
 
@@ -281,3 +285,57 @@ def test_binary_shard_layout_carries_nnz(spark, corpus):
     row = sharded.first()
     for d, w in zip(row["doc_ids"], row["weights"]):
         assert w == float(nnz[d])
+
+
+def test_emit_topk_fast_path_rank_identical():
+    """The small-batch exact score-all fast path and the MaxScore pruning
+    path must emit IDENTICAL (query_id, doc_id) top-k with equal rounded
+    scores on randomized multi-list workloads — the cutoff is a pure
+    performance knob, never a semantics switch."""
+    import numpy as np
+    import pandas as pd
+
+    from invertedfiles_jl_spark.operators.sharded import _emit_topk, _gather
+
+    rng = np.random.default_rng(7)
+    bs = 8
+    n_rows, n_terms, n_q = 60, 20, 15
+    tids = rng.integers(0, n_terms, n_rows)
+    rows_ids = [np.sort(rng.choice(500, size=rng.integers(5, 40),
+                                   replace=False)).astype(np.int64)
+                for _ in range(n_rows)]
+    rows_w = [rng.random(len(i)) + 0.01 for i in rows_ids]
+    pdf = pd.DataFrame({
+        "shard": np.zeros(n_rows, np.int64),
+        "term_id": tids,
+        "doc_ids": rows_ids,
+        "weights": rows_w,
+        "max_weight": [float(w.max()) for w in rows_w],
+        "block_max": [
+            [float(w[b * bs:(b + 1) * bs].max())
+             for b in range((len(w) + bs - 1) // bs)]
+            for w in rows_w
+        ],
+    })
+    qmap = {}
+    for q in range(n_q):
+        for t in rng.choice(n_terms, size=3, replace=False):
+            qmap.setdefault(int(t), ([], []))
+            qmap[int(t)][0].append(q)
+            qmap[int(t)][1].append(float(rng.random() + 0.1))
+    qmap = {t: (np.asarray(a, np.int64), np.asarray(b, np.float64))
+            for t, (a, b) in qmap.items()}
+
+    per_q: dict = {}
+    _gather(per_q, qmap, pdf)
+    fast = _emit_topk(per_q, 5, 6, bs, prune_min_entries=10**9)
+    slow = _emit_topk(per_q, 5, 6, bs, prune_min_entries=0)
+
+    def norm(df):
+        df = df.copy()
+        df["score"] = df["score"].round(6)
+        return df.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True],
+                              ignore_index=True)
+
+    pd.testing.assert_frame_equal(norm(fast), norm(slow))

@@ -90,3 +90,25 @@ def test_streaming_topk_matches_batch_bm25(spark, documents, tmp_path):
     ref = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
            for r in bm25_topk(idx, qdf, k=10, rank_round=6).collect()}
     assert final == ref
+
+
+def test_serve_rank_pool_half_up_boundary():
+    """Streaming serve's pool cut must round HALF_UP like every other
+    kernel (wand.round_half_up / Plan A's F.round / DuckDB) — NOT numpy's
+    half-to-even.  Scores 0.25 vs 0.26 at rank_round=1: HALF_UP keys both
+    to 0.3 (tie -> doc_id asc -> doc 2 wins); np.round keys them 0.2 vs
+    0.3 and flips the top-1 to doc 7.  Regression test for the r3 verdict
+    finding (serve.py ranked on np.round)."""
+    import numpy as np
+
+    from invertedfiles_jl_spark.streaming.serve import rank_pool
+
+    ids = np.array([7, 2], dtype=np.int64)
+    sc = np.array([0.26, 0.25])
+    top_ids, top_sc = rank_pool(ids, sc, k=1, rank_round=1)
+    assert top_ids.tolist() == [2]
+    assert top_sc.tolist() == [0.25]
+
+    # sanity: np.round (half-to-even) would have picked doc 7
+    wrong = np.lexsort((ids, -np.round(sc, 1)))[:1]
+    assert ids[wrong].tolist() == [7]

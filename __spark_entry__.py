@@ -593,6 +593,151 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the APPROXIMATE dense side — the production fusion
+    path: BM25 sparse ranks fused with ``ivf_topk`` (Lloyd-refined IVF,
+    nprobe-bounded candidate scan) instead of the brute-force ranker.
+    Gates the ivf → rrf composition end-to-end against a DuckDB oracle
+    that mirrors the IVF CTE chain of ``plans.oracles.ann_ivf_sql``."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import ivf_topk
+    from invertedfiles_jl_spark.operators.hybrid import hybrid_rrf_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    emb = _emb(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    tq = corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "content")
+
+    def dense(e, q, k):
+        return ivf_topk(e, q, k=k, n_clusters=16, nprobe=4,
+                        exclude_self=False, lloyd_iters=1)
+
+    res = hybrid_rrf_topk(idx, emb, tq, _equeries(emb), k=10, depth=20,
+                          rrf_k=60, dense_topk=dense)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("rrf", 6).alias("rrf"), "n_lists")
+
+
+def _hybrid_rrf_ivf_sql(k: int = 10, depth: int = 20, rrf_k: int = 60,
+                        n_queries: int = 5, k1: float = 1.2, b: float = 0.75,
+                        n_clusters: int = 16, nprobe: int = 4) -> str:
+    """DuckDB mirror of :func:`_q_hybrid_rrf_ivf` — sparse side identical
+    to ``_hybrid_rrf_sql``; dense side is the IVF chain of
+    ``plans.oracles.ann_ivf_sql`` (seed → 1 Lloyd step → assign → probe →
+    candidate scan) WITHOUT self-exclusion, exactly like the Spark call."""
+    cos_q = _osql._cos("vq.q_emb", "e.embedding")
+    cos_seed = _osql._cos("c.c_emb", "e.embedding")
+    cos_probe = _osql._cos("vq.q_emb", "c.c_emb")
+    cos_cand = _osql._cos("q_emb", "d_emb")
+    return f"""
+WITH {_BASE_CTES},
+hq AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id < {n_queries}),
+hqterm AS (
+  SELECT query_id, hq.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM hq JOIN vocab ON hq.term = vocab.term CROSS JOIN stats
+),
+sparse_scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM hqterm
+  JOIN tf ON hqterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM sparse_scored
+),
+seed AS (
+  SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
+),
+a0_scored AS (
+  SELECT e.vec_id, c.cluster, {cos_seed} AS cos
+  FROM embeddings e CROSS JOIN seed c
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM a0_scored
+  ) WHERE r = 1
+),
+cents AS (
+  SELECT cluster, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT a.cluster, pos, avg(CAST(e.embedding[pos] AS DOUBLE)) AS m
+    FROM a0 a JOIN embeddings e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS pos)
+    GROUP BY a.cluster, pos
+  ) GROUP BY cluster
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cluster, {cos_seed} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM assign_scored
+  ) WHERE r = 1
+),
+vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+qprobe AS (
+  SELECT vq.query_id, c.cluster, {cos_probe} AS cos
+  FROM vq CROSS JOIN cents c
+),
+probed AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM qprobe
+  ) WHERE r <= {nprobe}
+),
+ivcands AS (
+  SELECT p.query_id, a.vec_id, vq.q_emb, e.embedding AS d_emb
+  FROM probed p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN vq ON vq.query_id = p.query_id
+),
+dense_scored AS (
+  SELECT query_id, vec_id AS doc_id, {cos_cand} AS cos FROM ivcands
+),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, doc_id ASC) AS rank
+  FROM dense_scored
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         1.0 / ({float(rrf_k)} + CAST(rank AS DOUBLE)) AS c FROM sparse WHERE rank <= {depth}
+  UNION ALL
+  SELECT query_id, doc_id,
+         1.0 / ({float(rrf_k)} + CAST(rank AS DOUBLE)) AS c FROM dense WHERE rank <= {depth}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf, n_lists,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(rrf, 9) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf, n_lists
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-then-append build, flattened postings — oracle is the FULL-build
     posting relation, proving append ≡ rebuild."""
@@ -748,6 +893,37 @@ def _q_allknn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allknn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allknn with ``df_cap`` — the 100-TB escape from the exact plan's
+    Σ df² candidate join (knn.allknn): candidate pairs are generated only
+    from terms with df ≤ 390 (prefix filtering), then every candidate is
+    re-scored EXACTLY over ALL shared terms, hot ones included.  The oracle
+    mirrors both halves, pinning the rescoring contract: emitted distances
+    must equal the exact plan's on every surviving pair.  Reference
+    contract: /root/reference/test/invfiles.jl:97."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+    from invertedfiles_jl_spark.operators.knn import allknn, build_vector_index
+
+    corpus = _corpus(spark, sf_dir)
+    cfg = IndexConfig(weighting="normcosine", weight_dtype="double")
+    tf = doc_term_freqs(corpus, cfg)
+    norm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("n")
+    )
+    pairs = tf.join(norm, "doc_id").select(
+        "doc_id", "term", (F.col("tf") / F.col("n")).alias("weight")
+    )
+    idx = build_vector_index(pairs, cfg)
+    sample = pairs.filter(F.col("doc_id") < 50)
+    res = allknn(idx, sample, k=3, rank_round=6, df_cap=390)
+    return res.select(
+        "query_id", "rank", "doc_id",
+        (F.round("dist", 5) + F.lit(0.0)).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -784,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "streaming_bm25_topk": _q_streaming_topk,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
@@ -794,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exhaustive_cosine": _q_exhaustive_cosine,
         "recall_cosine_vs_exhaustive": _q_recall_cosine,
         "allknn_sample": _q_allknn_sample,
+        "allknn_capped": _q_allknn_capped,
         "media_features": _q_media_features,
         "frame_sample_plan": _q_frame_plan,
         "rolling_fingerprint": _q_rolling_fp,
@@ -837,6 +1015,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "hybrid_rrf_ivf_topk": _hybrid_rrf_ivf_sql(),
         "streaming_bm25_topk": _bm25_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
@@ -866,6 +1045,38 @@ ranked AS (
 -- "+ 0.0" canonicalizes IEEE negative zero: DuckDB's round(1.0 - sum(w*w), 5)
 -- lands on -0.0 for self-matches where Spark emits +0.0; values are equal but
 -- the driver's value-hash compares bytes (-0.0 + 0.0 == +0.0 in IEEE 754).
+SELECT query_id, rank, doc_id, round(dist, 5) + 0.0 AS dist
+FROM ranked WHERE rank <= 3
+""",
+        "allknn_capped": f"""
+WITH {_BASE_CTES},
+np AS (
+  SELECT tf.doc_id, term, tf / norm AS w
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+),
+q AS (SELECT doc_id AS query_id, term, w AS qw FROM np WHERE doc_id < 50),
+-- prefix filter: candidate pairs come only from terms with df <= 390
+-- (knn.allknn_candidates restricts BOTH join sides to those terms)
+cand AS (
+  SELECT DISTINCT q.query_id, np.doc_id
+  FROM q JOIN np ON q.term = np.term
+  WHERE q.term IN (SELECT term FROM vocab WHERE df <= 390)
+),
+-- exact re-score of every candidate pair over ALL shared terms (hot
+-- ones included) — the df_cap rescoring contract (knn.allknn)
+dots AS (
+  SELECT q.query_id, np.doc_id, 1.0 - sum(q.qw * np.w) AS dist
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN np ON np.doc_id = cand.doc_id AND np.term = q.term
+  GROUP BY q.query_id, np.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dist, 6) ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM dots
+)
 SELECT query_id, rank, doc_id, round(dist, 5) + 0.0 AS dist
 FROM ranked WHERE rank <= 3
 """,

@@ -609,11 +609,33 @@ def main():
     queries = run_once(CPUS)
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Self-qualifying artifact: the same in-run host-ceiling probes the
+    # scaling mode logs (fixed-total-work CPU burn / DRAM stream, run
+    # serially AFTER the measurements so they don't contaminate them).
+    # BENCH_r03 was recorded in a congested window (wand 3.41 s vs 0.91 s
+    # re-measured) with no way to tell from the artifact — these fields
+    # make a bad window visible in the JSON itself.  window_ok: the host
+    # delivered ≳85% of its cores during the probe, i.e. the numbers are
+    # trustworthy steady-state costs, not neighbor-stall noise.
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    ceil = {}
+    for key, tool in (("cpu", "machine_ceiling.py"), ("mem", "mem_ceiling.py")):
+        cp = subprocess.run([sys.executable, os.path.join(tools_dir, tool),
+                             "4", "16"], capture_output=True, text=True)
+        try:
+            ceil[key] = next(iter(json.loads(
+                cp.stdout.strip().splitlines()[-1]).values()))["4->16"]
+        except Exception:
+            ceil[key] = None
+    window_ok = ceil.get("cpu") is not None and ceil["cpu"] >= 0.85
     print(json.dumps({"metric": "build_plus_query_total_sec", "value": total,
                       "unit": "sec", "queries": queries, "sf": sf,
                       "cpus": CPUS,
                       "qps_bm25": round(N_QUERIES / queries[HEADLINE_QPS_KEY], 1),
-                      "qps_bm25_wand": round(N_QUERIES / queries["bm25_wand_100q"], 1)}))
+                      "qps_bm25_wand": round(N_QUERIES / queries["bm25_wand_100q"], 1),
+                      "host_cpu_ceiling_4to16": ceil.get("cpu"),
+                      "host_mem_ceiling_4to16": ceil.get("mem"),
+                      "window_ok": window_ok}))
 
 
 if __name__ == "__main__":

@@ -573,16 +573,29 @@ def main():
             "```",
         ]
         os.makedirs("BENCH", exist_ok=True)
-        # preserve a previously-measured weak-scaling section, if any
+        # preserve the hand-maintained north-rule verdict block (between the
+        # title and the first blank-separated paragraph starting "Sandbox")
+        # and a previously-measured weak-scaling section, if any
         weak_section = ""
+        verdict = ""
         if os.path.exists("BENCH/BASELINE.md"):
             with open("BENCH/BASELINE.md") as f:
                 prev = f.read()
+            v0 = prev.find("**North-rule verdict:")
+            if v0 != -1:
+                v1 = prev.find("\n\nSandbox proxy", v0)
+                if v1 != -1:
+                    verdict = prev[v0:v1].rstrip() + "\n\n"
             cut = prev.find("## Weak scaling")
             if cut != -1:
                 weak_section = "\n\n" + prev[cut:].rstrip() + "\n"
+        body = "\n".join(md)
+        if verdict:
+            body = body.replace(
+                "measured two-parallelism scaling\n\n",
+                "measured two-parallelism scaling\n\n" + verdict, 1)
         with open("BENCH/BASELINE.md", "w") as f:
-            f.write("\n".join(md) + weak_section + "\n")
+            f.write(body + weak_section + "\n")
         out = {"metric": f"scaling_efficiency_{n_lo}to{n_hi}",
                "value": round(gate, 3), "unit": "ratio",
                "queries": {"build_eff": round(eff_b, 3),

@@ -46,6 +46,26 @@ def main(argv=None):
     s.add_argument("--n-shards", type=int, default=32,
                    help="shard count; on a cluster set to the executor count")
 
+    v = sub.add_parser(
+        "serve",
+        help="streaming top-k serve: standing queries over a document "
+             "file-stream (streaming.serve); drains with availableNow and "
+             "writes the final per-query top-k.  A long-running deployment "
+             "attaches its own sink to streaming_bm25_topk instead.")
+    v.add_argument("--index", required=True, help="frozen-stats index snapshot")
+    v.add_argument("--queries", required=True,
+                   help="parquet with (query_id long, content string)")
+    v.add_argument("--stream-src", required=True,
+                   help="parquet directory read as a file stream "
+                        "(doc_id long, content string)")
+    v.add_argument("--output", required=True)
+    v.add_argument("--k", type=int, default=10)
+    v.add_argument("--rank-round", type=int, default=6)
+    v.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (default: fresh temp dir)")
+    v.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="micro-batch size in files (smoke/testing)")
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -96,6 +116,42 @@ def main(argv=None):
         shard_postings(idx, n_shards=args.n_shards).write.mode(
             "overwrite").parquet(args.output)
         print(f"wrote {args.n_shards}-shard serving layout to {args.output}")
+        return 0
+
+    if args.cmd == "serve":
+        import tempfile
+        import uuid
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from invertedfiles_jl_spark.streaming.serve import streaming_bm25_topk
+
+        idx = load_index(spark, args.index)
+        assert idx.cfg.weighting == "bm25", "serve requires a bm25 index snapshot"
+        queries = spark.read.parquet(args.queries)
+        reader = spark.readStream.schema("doc_id long, content string")
+        if args.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        stream = reader.option("recursiveFileLookup", "true").parquet(args.stream_src)
+        out = streaming_bm25_topk(stream, idx, queries, k=args.k,
+                                  rank_round=args.rank_round)
+        sink = f"serve_{uuid.uuid4().hex[:10]}"
+        ckpt = args.checkpoint or tempfile.mkdtemp(prefix="ifserve_ckpt_")
+        sq = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()  # availableNow terminates once the src drains
+        emitted = spark.table(sink)
+        w = Window.partitionBy("query_id")
+        final = emitted.withColumn("mx", F.max("n_seen").over(w)).filter(
+            F.col("n_seen") == F.col("mx")).drop("mx")
+        final.write.mode("overwrite").parquet(args.output)
+        print(f"served {final.count()} result rows to {args.output}")
         return 0
 
     idx = load_index(spark, args.index)

@@ -105,3 +105,29 @@ def test_cli_binary_sharded_plan(spark, corpus_path, queries_path, tmp_path):
                            "--dist", "jaccard", "--rank-round", "9"])
     assert rc == 0
     assert _ranking(spark, out_served) == _ranking(spark, out_rel)
+
+
+def test_cli_serve_matches_batch(spark, index_path, corpus_path, queries_path,
+                                 tmp_path):
+    """`serve` drains the corpus as a file stream through the stateful
+    top-k server and must land on the batch relational ranking (frozen
+    stats come from the same index the batch plan queries)."""
+    serve_out = str(tmp_path / "serve_out")
+    rc = submit_main.main([
+        "serve", "--index", index_path, "--queries", queries_path,
+        "--stream-src", corpus_path, "--output", serve_out,
+        "--checkpoint", str(tmp_path / "serve_ckpt"),
+        "--k", "10", "--rank-round", "6",
+    ])
+    assert rc == 0
+    batch_out = str(tmp_path / "res_rel")
+    rc = submit_main.main([
+        "query", "--index", index_path, "--queries", queries_path,
+        "--output", batch_out, "--plan", "relational", "--rank-round", "6",
+    ])
+    assert rc == 0
+    serve = {(r.query_id, r["rank"]): r.doc_id
+             for r in spark.read.parquet(serve_out).collect()}
+    batch = {(r.query_id, r["rank"]): r.doc_id
+             for r in spark.read.parquet(batch_out).collect()}
+    assert serve == batch

@@ -67,6 +67,39 @@ def seed_centroids(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
     )
 
 
+def seed_centroids_farthest(emb: DataFrame, n_clusters: int = 16) -> DataFrame:
+    """Deterministic k-means++-style seeding without RNG: greedy
+    farthest-point traversal.  Seed 0 = the lowest vec_id's vector; each
+    next seed = the vector whose best cosine to ANY already-chosen seed is
+    SMALLEST (rounded to 9 dp, tie-break vec_id asc) — the farthest point
+    from the chosen set, which spreads seeds across true clusters even when
+    the first-n vectors all sit in one cluster (the degenerate case
+    ``seed_centroids`` suffers, see tests).
+
+    Cost shape: ``n_clusters − 1`` driver iterations, each one
+    broadcast-scan + single-row argmin collect — O(n_clusters · n · d)
+    build-time work, no data-sized collect.  Fully deterministic, so an
+    oracle CAN mirror it, but the per-seed CTE chain is quadratic in SQL;
+    oracle-gated driver rows keep ``seed_mode='first'``."""
+    spark = emb.sparkSession
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(0, [float(x) for x in first["embedding"]])]
+    for i in range(1, n_clusters):
+        cents = spark.createDataFrame(seeds, "cluster long, c_emb array<double>")
+        j = emb.select("vec_id", "embedding", F.col("embedding").alias("d_emb")
+                       ).crossJoin(F.broadcast(cents))
+        pick = (
+            with_cosine(j, "c_emb", "d_emb")
+            .groupBy("vec_id", "embedding")
+            .agg(F.max(F.round(F.col("cos"), 9)).alias("near"))
+            .orderBy(F.col("near").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((i, [float(x) for x in pick["embedding"]]))
+    return spark.createDataFrame(seeds, "cluster long, c_emb array<double>")
+
+
 def assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cluster) — nearest (max-cosine) centroid, deterministic
     tie-break by (round(cos, 9) desc, cluster asc)."""
@@ -116,13 +149,20 @@ def assign_clusters(emb: DataFrame, n_clusters: int = 16,
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4,
-             exclude_self: bool = True, lloyd_iters: int = 1) -> DataFrame:
+             exclude_self: bool = True, lloyd_iters: int = 1,
+             seed_mode: str = "first") -> DataFrame:
     """IVF-bucketed approximate cosine top-k: probe the nprobe clusters
     whose centroids best match the query; exact rank within candidates.
-    Centroids are the first-n seeds refined by ``lloyd_iters`` Lloyd steps
-    (default 1 — on clustered data the refined centroids separate clusters
-    the raw seeds cannot, see tests/test_text_ann_multimodal.py)."""
-    cents = lloyd_refine(emb, seed_centroids(emb, n_clusters), lloyd_iters)
+    Centroids are seeded per ``seed_mode`` — ``'first'`` (first-n vectors,
+    the DuckDB-mirrorable default) or ``'farthest'`` (deterministic
+    k-means++-style farthest-point traversal, robust to clustered inputs
+    whose first-n vectors share a cluster) — then refined by
+    ``lloyd_iters`` Lloyd steps (default 1 — on clustered data the refined
+    centroids separate clusters the raw seeds cannot, see
+    tests/test_text_ann_multimodal.py)."""
+    seed_fn = {"first": seed_centroids,
+               "farthest": seed_centroids_farthest}[seed_mode]
+    cents = lloyd_refine(emb, seed_fn(emb, n_clusters), lloyd_iters)
     assign = assign_to(emb, cents)
     qprobe = with_cosine(
         queries.select("query_id", "q_emb").crossJoin(F.broadcast(cents)),

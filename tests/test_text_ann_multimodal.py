@@ -249,3 +249,45 @@ def test_frame_sample_plan(corpus):
     vids = media.filter(F.col("modality") == "video").count()
     assert len(rows) >= vids  # ≥1 frame per video
     assert all(r["frame_idx"] % 30 == 0 for r in rows)
+
+
+def test_ivf_farthest_seeding_beats_first_n_on_clustered_data(spark):
+    """Same degenerate fixture as the Lloyd test (all first-n seeds inside
+    ONE cluster): with NO Lloyd refinement, farthest-point seeding must
+    spread seeds across the true clusters and beat first-n recall at
+    nprobe=1.  Deterministic (no RNG in the traversal)."""
+    from invertedfiles_jl_spark.operators.ann import ivf_topk as _ivf
+
+    rng = np.random.RandomState(7)
+    dim, per = 8, 30
+    groups = []
+    for g in range(4):
+        base = np.zeros(dim)
+        base[g] = 1.0
+        groups.append(base + 0.25 * rng.randn(per, dim))
+    idx_groups = [list(range(g * per, (g + 1) * per)) for g in range(4)]
+    order = idx_groups[0][:4]  # all four first-n seeds from cluster 0
+    rest = idx_groups[0][4:] + idx_groups[1] + idx_groups[2] + idx_groups[3]
+    rng.shuffle(rest)
+    order += rest
+    allv = np.vstack(groups)[order]
+    rows = [(int(i), [float(x) for x in allv[i]]) for i in range(len(allv))]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb2.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+
+    gold: dict = {}
+    for r in brute_force_topk(emb2, q, k=5).collect():
+        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(seed_mode):
+        got: dict = {}
+        for r in _ivf(emb2, q, k=5, n_clusters=4, nprobe=1, lloyd_iters=0,
+                      seed_mode=seed_mode).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return float(np.mean([len(gold[qq] & got.get(qq, set())) / 5
+                              for qq in gold]))
+
+    r_first, r_far = recall("first"), recall("farthest")
+    assert r_far > r_first, (r_first, r_far)
+    assert r_far >= 0.7, r_far

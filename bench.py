@@ -641,6 +641,11 @@ def main():
         except Exception:
             ceil[key] = None
     window_ok = ceil.get("cpu") is not None and ceil["cpu"] >= 0.85
+    _log_scaling_run({"mode": "once", "compress": COMPRESS, "cpus": CPUS,
+                      "sf": sf, "queries": queries,
+                      "host_cpu_ceiling_4to16": ceil.get("cpu"),
+                      "host_mem_ceiling_4to16": ceil.get("mem"),
+                      "window_ok": window_ok})
     print(json.dumps({"metric": "build_plus_query_total_sec", "value": total,
                       "unit": "sec", "queries": queries, "sf": sf,
                       "cpus": CPUS,

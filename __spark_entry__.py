@@ -31,7 +31,12 @@ from invertedfiles_jl_spark.operators.search import (
     postings_exploded,
     set_distance_topk,
 )
-from invertedfiles_jl_spark.sources.queries import QUERY_SET, queries_df, queries_values_sql
+from invertedfiles_jl_spark.sources.queries import (
+    PHRASE_SET,
+    QUERY_SET,
+    queries_df,
+    queries_values_sql,
+)
 
 _INDEX_CACHE: dict = {}
 
@@ -924,6 +929,34 @@ def _q_allknn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat positional postings, exploded to (term, doc_id, pos) — gates the
+    position space (0-based offsets over the filtered token array) that
+    phrase search intersects."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import positional_postings
+
+    pos = positional_postings(_corpus(spark, sf_dir))
+    return pos.select("term", "doc_id", F.explode("positions").alias("pos"))
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase top-k over the positional index (operators/positional):
+    rank = phrase occurrence count desc, doc_id asc.  Fixture phrases mix a
+    common bigram, a duplicate-term bigram, rare trigrams, a single-term
+    phrase, a never-adjacent bigram and an OOV phrase (sources/queries
+    PHRASE_SET)."""
+    from invertedfiles_jl_spark.operators.positional import (
+        phrase_topk,
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    pos = positional_postings(_corpus(spark, sf_dir))
+    return phrase_topk(pos, phrases_df(spark), k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -975,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_sample_plan": _q_frame_plan,
         "rolling_fingerprint": _q_rolling_fp,
+        "positional_postings": _q_positional_postings,
+        "phrase_topk": _q_phrase_topk,
     }
 
 
@@ -1024,6 +1059,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "media_features": _osql.media_features_sql(),
         "frame_sample_plan": _osql.frame_sample_plan_sql(),
         "rolling_fingerprint": _osql.rolling_fingerprint_sql(),
+        "positional_postings": _osql.positional_postings_sql(),
+        "phrase_topk": _osql.phrase_topk_sql(PHRASE_SET),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -1,0 +1,157 @@
+"""Positional postings + exact phrase search.
+
+The reference indexes bag-of-words only (``sparseiterator`` consumes
+(term, weight) pairs, /root/reference/src/invfile.jl:53-80 — token order is
+gone before the index sees a document).  Phrase queries are this engine's
+fulltext extension: the positional table stores, per (term, doc), the sorted
+token offsets of every occurrence, and a phrase matches where the offset
+sets of its terms align consecutively.
+
+Spark-first design, mirroring ``operators.build`` stage shapes:
+
+  corpus ──repartition(doc_id)──▶                           shuffle 1 (compact doc rows)
+         ──posexplode(tokens)──▶ (doc_id, pos, term)        narrow
+         ──groupBy(doc_id, term)
+             .agg(sort_array(collect_list(pos)))──▶          NO exchange (doc_id-clustered)
+  positional(term_id, doc_id, positions, tf)
+
+Phrase search is pure JVM relational algebra — no UDF anywhere:
+
+  phrase terms (query_id, offset, term_id, m)  — broadcast (queries are tiny)
+    ⋈ positional on term_id                    — matched rows only, Σ df(term)
+    transform(positions, p → p − offset)       — shift each term's offsets
+                                                 back to candidate START slots
+    groupBy(query_id, doc_id):
+      count(DISTINCT offset) = m               — every phrase slot matched
+      fold array_intersect over shifted sets   — surviving starts = phrase hits
+  phrase_tf = |∩ shifted_i|  →  bounded top-k (score desc, doc_id asc)
+
+A start position p is a phrase occurrence iff term_i occurs at p+i for every
+i — i.e. p survives the intersection of every term's shifted offset set.
+Duplicate phrase terms ("scan scan") fall out naturally: the same posting
+row joins once per offset and contributes one shifted set per slot.
+
+At 100 TB: the positional table is ~2-4× the weighted postings (offsets
+instead of one weight), partitioned the same way (term_id-keyed, salting
+applies unchanged via ``operators.build.salted_pairs`` semantics if lists
+grow hot).  The join moves only matched posting rows; the group-agg is
+partial+final; the top-k is the same double WindowGroupLimit as Plan A.  A
+rarest-term-first candidate prune (lead the join with the lowest-df term,
+semi-join the rest) is the next escape if Σ df of hot phrase terms
+dominates — same role the block-max kernel plays for BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import term_id_col
+from invertedfiles_jl_spark.operators.search import topk
+
+
+def _token_array_sql(content_col: str, cfg: IndexConfig) -> str:
+    """Token ARRAY expression whose element indexes are the position
+    space — empty tokens are filtered INSIDE the array (one higher-order
+    ``filter`` per document row, not per token) so positions match the
+    DuckDB oracle's ``list_filter`` indexes exactly.  Post-explode filtering
+    would instead keep pre-filter offsets and drift on any input with
+    leading/duplicate whitespace."""
+    content = f"lower({content_col})" if cfg.lowercase else content_col
+    if cfg.tokenizer == "code":
+        pat = IndexConfig.CODE_TOKEN_RE.replace("\\", "\\\\")
+        return f"regexp_extract_all({content}, '{pat}', 0)"
+    return f"filter(split({content}, '\\\\s+'), t -> t != '')"
+
+
+def exploded_positions(df: DataFrame, doc_out: str, doc_col: str,
+                       content_col: str, cfg: IndexConfig) -> DataFrame:
+    """(doc_out, pos, term) rows — 0-based token offsets."""
+    return df.select(
+        F.col(doc_col).alias(doc_out),
+        F.posexplode(F.expr(_token_array_sql(content_col, cfg))).alias("pos", "term"),
+    )
+
+
+def positional_postings(corpus: DataFrame, cfg: IndexConfig | None = None,
+                        doc_col: str = "doc_id",
+                        content_col: str = "content") -> DataFrame:
+    """corpus → (term_id, term, doc_id, positions, tf) flat positional
+    postings, sorted offsets per (term, doc).
+
+    One exchange of compact document rows (same rationale as
+    ``build.doc_term_freqs``): after ``repartition(doc_id)`` the
+    ``groupBy(doc_id, term)`` is satisfied by the existing clustering and
+    plans in the explode's own stage.  ``term`` (the string) is kept for
+    human-facing outputs; serving layouts should prune it and key on the
+    fixed-width ``term_id`` like the weighted postings do.
+    """
+    cfg = cfg or IndexConfig()
+    toks = exploded_positions(corpus.repartition(F.col(doc_col)),
+                              "doc_id", doc_col, content_col, cfg)
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .withColumn("term_id", term_id_col(F.col("term")))
+    )
+
+
+def phrase_terms(queries: DataFrame, cfg: IndexConfig | None = None,
+                 query_col: str = "query_id",
+                 content_col: str = "content") -> DataFrame:
+    """(query_id, offset, term_id, m) — the phrase's slot table.  ``m`` is
+    the phrase length in tokens; a doc must match all m distinct offsets."""
+    cfg = cfg or IndexConfig()
+    arr = F.expr(_token_array_sql(content_col, cfg))
+    toks = queries.select(
+        F.col(query_col).alias("query_id"),
+        F.size(arr).alias("m"),
+        F.posexplode(arr).alias("offset", "term"),
+    )
+    return toks.select(
+        "query_id", "offset", "m", term_id_col(F.col("term")).alias("term_id")
+    )
+
+
+def phrase_topk(positional: DataFrame, queries: DataFrame,
+                cfg: IndexConfig | None = None, k: int = 10) -> DataFrame:
+    """Exact phrase top-k: rank docs by ``phrase_tf`` (number of phrase
+    occurrences), tie-break doc_id asc — the same ``KnnSorted``
+    deterministic-order contract as every other kernel (integer scores, so
+    no rank_round is needed).
+
+    Semantics: a doc qualifies iff the phrase occurs at least once with its
+    tokens strictly consecutive.  A phrase containing an out-of-vocabulary
+    term matches nothing (inner-join slot loss ⇒ n_off < m) — the phrase
+    analogue of the empty-Q early return
+    (/root/reference/src/invfilesearch.jl:44).
+    """
+    pt = phrase_terms(queries, cfg)
+    matched = positional.join(
+        F.broadcast(pt), "term_id"
+    ).select(
+        "query_id", "doc_id", "m", "offset",
+        F.expr("transform(positions, p -> p - offset)").alias("shifted"),
+    )
+    g = matched.groupBy("query_id", "doc_id").agg(
+        F.first("m").alias("m"),
+        F.countDistinct("offset").alias("n_off"),
+        F.collect_list("shifted").alias("arrs"),
+    )
+    scored = (
+        g.filter(F.col("n_off") == F.col("m"))
+        .withColumn(
+            "phrase_tf",
+            F.expr(
+                "size(aggregate(slice(arrs, 2, size(arrs) - 1), "
+                "element_at(arrs, 1), (acc, x) -> array_intersect(acc, x)))"
+            ).cast("long"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .select("query_id", "doc_id", "phrase_tf")
+    )
+    return topk(scored, k, "phrase_tf", ascending=False)

@@ -442,3 +442,57 @@ JOIN cc ON cc.doc_id = s.doc_id AND cc.t >= s.l AND cc.t < s.r
 JOIN pw pwj ON pwj.k = s.r - 1 - cc.t
 GROUP BY s.doc_id, s.chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# positional index + phrase search (operators/positional.py)
+# ---------------------------------------------------------------------------
+
+
+def positional_postings_sql() -> str:
+    """Exploded positional postings (term, doc_id, pos) — 0-based offsets
+    over the SAME filtered token array the Spark build indexes (parallel
+    ``unnest`` + ``generate_subscripts`` zip in DuckDB)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+)
+SELECT unnest(ts) AS term, doc_id,
+       CAST(generate_subscripts(ts, 1) - 1 AS INTEGER) AS pos
+FROM toks
+"""
+
+
+def phrase_topk_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
+    """Phrase top-k oracle: per fixture phrase, count starts i where every
+    token of the phrase matches consecutively (1-based list indexing;
+    ``range(1, len-m+2)`` is empty when the doc is shorter than the
+    phrase), then rank phrase_tf DESC, doc_id ASC — the Spark kernel's
+    KnnSorted contract."""
+    branches = []
+    for qid, text in phrases:
+        ws = text.lower().split()
+        m = len(ws)
+        conds = " AND ".join(f"ts[i+{j}] = '{w}'" for j, w in enumerate(ws))
+        branches.append(
+            f"  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,\n"
+            f"         CAST(len(list_filter(range(1, len(ts) - {m} + 2), "
+            f"i -> {conds})) AS BIGINT) AS phrase_tf\n"
+            f"  FROM toks"
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+),
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query_id, doc_id, phrase_tf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY phrase_tf DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored WHERE phrase_tf > 0
+)
+SELECT query_id, rank, doc_id, phrase_tf FROM ranked WHERE rank <= {k}
+"""

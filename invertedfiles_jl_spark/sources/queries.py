@@ -32,3 +32,23 @@ def queries_values_sql() -> str:
     """The same query set as an ANSI VALUES relation for DuckDB oracles."""
     rows = ", ".join(f"(CAST({qid} AS BIGINT), '{text}')" for qid, text in QUERY_SET)
     return f"(VALUES {rows}) AS q(query_id, content)"
+
+
+# Fixed phrase-query set (positional index / phrase search).  Deterministic
+# mix: common bigram, duplicate-term bigram ("scan scan" — same term fills
+# two phrase slots), two rare trigrams, a single-term phrase (ranking
+# degenerates to tf), a bigram whose terms exist but are never adjacent
+# (zero matches), and a fully out-of-vocabulary phrase.
+PHRASE_SET: list[tuple[int, str]] = [
+    (1, "fast query"),
+    (2, "scan scan"),
+    (3, "value table part"),
+    (4, "spark window merge"),
+    (5, "dup"),
+    (6, "dup customer"),
+    (7, "zzzunknown qqqmissing"),
+]
+
+
+def phrases_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PHRASE_SET, "query_id long, content string")

@@ -1,0 +1,124 @@
+"""Positional index + phrase search (operators/positional.py).
+
+Oracle parity mirrors the driver gate; the inline-corpus cases pin the
+position-space subtleties (filtered-array offsets, duplicate phrase terms,
+overlapping occurrences) against naive Python counting.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.operators.build import doc_term_freqs
+from invertedfiles_jl_spark.operators.positional import (
+    phrase_terms,
+    phrase_topk,
+    positional_postings,
+)
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.plans.oracles import (
+    phrase_topk_sql,
+    positional_postings_sql,
+)
+from invertedfiles_jl_spark.sources.queries import PHRASE_SET, phrases_df
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+
+
+@pytest.fixture(scope="module")
+def positional(corpus):
+    return positional_postings(corpus).cache()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def test_positional_postings_match_oracle(positional, sf_dir):
+    flat = positional.select("term", "doc_id", F.explode("positions").alias("pos"))
+    got = sorted(tuple(r) for r in flat.collect())
+    want = sorted(tuple(r) for r in _duck(sf_dir).execute(positional_postings_sql()).fetchall())
+    assert got == want
+
+
+def test_phrase_topk_matches_oracle(positional, spark, sf_dir):
+    res = phrase_topk(positional, phrases_df(spark), k=10)
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(
+        tuple(r) for r in _duck(sf_dir).execute(phrase_topk_sql(PHRASE_SET, 10)).fetchall()
+    )
+    assert got == want
+    # fixture guarantees: the OOV phrase (7) and the never-adjacent bigram
+    # (6) return nothing; the common bigram (1) returns something
+    qids = {r[0] for r in got}
+    assert 6 not in qids and 7 not in qids and 1 in qids
+
+
+def test_single_term_phrase_is_tf(positional, corpus, spark):
+    """m=1 degenerates to term-frequency ranking."""
+    res = phrase_topk(positional, spark.createDataFrame(
+        [(1, "dup")], "query_id long, content string"), k=1000)
+    got = {(r.doc_id, r.phrase_tf) for r in res.collect()}
+    tf = doc_term_freqs(corpus, IndexConfig())
+    want = {(r.doc_id, r.tf) for r in tf.filter(F.col("term") == "dup").collect()}
+    assert got == want and len(got) > 0
+
+
+def _naive_phrase_tf(text: str, phrase: str) -> int:
+    ts = text.lower().split()
+    ws = phrase.lower().split()
+    return sum(
+        1 for i in range(len(ts) - len(ws) + 1) if ts[i:i + len(ws)] == ws
+    )
+
+
+def test_inline_corpus_edge_cases(spark):
+    """Leading/repeated whitespace (filtered-array offsets), duplicate-term
+    phrases, and overlapping occurrences ("a a a" contains "a a" twice)."""
+    docs = [
+        (0, "  a  b a b  a"),     # ragged whitespace
+        (1, "a a a a"),           # overlapping duplicate-term phrase
+        (2, "b b a"),
+        (3, "x y z"),
+    ]
+    phrases = [(1, "a b"), (2, "a a"), (3, "b a b"), (4, "a b x")]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    res = phrase_topk(positional_postings(corpus),
+                      spark.createDataFrame(phrases, "query_id long, content string"),
+                      k=10)
+    got = {(r.query_id, r.doc_id): r.phrase_tf for r in res.collect()}
+    want = {}
+    for qid, ph in phrases:
+        for did, text in docs:
+            n = _naive_phrase_tf(text, ph)
+            if n > 0:
+                want[(qid, did)] = n
+    assert got == want
+
+
+def test_phrase_terms_slots(spark):
+    pt = phrase_terms(spark.createDataFrame(
+        [(1, "scan scan filter")], "query_id long, content string"))
+    rows = sorted((r.offset, r.m) for r in pt.collect())
+    assert rows == [(0, 3), (1, 3), (2, 3)]
+
+
+def test_phrase_plan_broadcasts_query_side(positional, spark):
+    """The phrase join must broadcast the tiny slot table — no
+    SortMergeJoin anywhere in the phrase plan (same CI contract as the
+    other serving plans, tests/test_plan_shapes.py)."""
+    plan = phrase_topk(positional, phrases_df(spark), k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -103,13 +103,21 @@ qt AS (
 
 
 def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, t: int = 1,
-              accept_where: str = "") -> str:
+              accept_where: str = "", term_where: str = "") -> str:
     """``accept_where`` — optional SQL predicate over ``documents`` rows;
     when set, mirrors filtered retrieval (search._accept): idf/avgdl/N stay
-    full-corpus, non-accepted docs are dropped pre-aggregation."""
+    full-corpus, non-accepted docs are dropped pre-aggregation.
+    ``term_where`` — optional SQL predicate over ``vocab`` rows; when set,
+    mirrors posting-list pruning (maintenance.prune_postings): pruned terms
+    never match, while idf and every surviving score stay frozen at their
+    full-corpus values."""
     having = f"HAVING count(*) >= {t}" if t > 1 else ""
-    accept = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {accept_where})"
-              if accept_where else "")
+    clauses = []
+    if accept_where:
+        clauses.append(f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {accept_where})")
+    if term_where:
+        clauses.append(f"tf.term IN (SELECT term FROM vocab WHERE {term_where})")
+    accept = f"WHERE {' AND '.join(clauses)}" if clauses else ""
     return f"""
 WITH {_BASE_CTES},
 qterm AS (
@@ -957,6 +965,50 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk(pos, phrases_df(spark), k=10)
 
 
+_DELETE_PRED = "doc_id % 7 = 3"  # deterministic ~14% delete fixture
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str):
+    """BM25 index with the fixture delete applied (maintenance contract:
+    scoring statistics stay frozen, so post-delete BM25 ≡ full-corpus BM25
+    restricted to the survivors — exactly the accept-set oracle)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.maintenance import delete_documents
+
+    idx = _index(spark, sf_dir, "bm25")
+    dels = _corpus(spark, sf_dir).filter(F.expr(_DELETE_PRED)).select("doc_id")
+    return delete_documents(idx, dels)
+
+
+def _q_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _deleted_index(spark, sf_dir)
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_delete_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded postings after the fixture delete — gates that the map-only
+    array rewrite removed every deleted entry and nothing else."""
+    from invertedfiles_jl_spark.operators.search import postings_exploded
+
+    return postings_exploded(_deleted_index(spark, sf_dir)).select("term", "doc_id")
+
+
+def _q_pruned_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a df-pruned index (stopword lists dropped at
+    max_df_ratio=0.78): pruned terms never match, surviving scores frozen."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.maintenance import prune_postings
+
+    idx = prune_postings(_index(spark, sf_dir, "bm25"), max_df_ratio=0.78)
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -1010,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fp,
         "positional_postings": _q_positional_postings,
         "phrase_topk": _q_phrase_topk,
+        "delete_docs_bm25_topk": _q_delete_bm25,
+        "delete_docs_postings": _q_delete_postings,
+        "pruned_bm25_topk": _q_pruned_bm25,
     }
 
 
@@ -1061,6 +1116,13 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "rolling_fingerprint": _osql.rolling_fingerprint_sql(),
         "positional_postings": _osql.positional_postings_sql(),
         "phrase_topk": _osql.phrase_topk_sql(PHRASE_SET),
+        "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),
+        "delete_docs_postings": f"""
+WITH {_BASE_CTES}
+SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
+""",
+        "pruned_bm25_topk": _bm25_sql(
+            term_where="df <= CAST(floor(0.78 * (SELECT count(*) FROM documents)) AS BIGINT)"),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

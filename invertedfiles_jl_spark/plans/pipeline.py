@@ -252,6 +252,29 @@ def build_checkpointed(
     return InvertedIndex(docs=docs, vocab=vocab, postings=postings, stats=stats, cfg=cfg)
 
 
+def save_index(index: InvertedIndex, path: str, catalog: str | None = None) -> None:
+    """Persist an in-memory index handle as a loadable index root — the
+    docs/vocab/postings stages plus ``index.json``, same layout the staged
+    build leaves behind.  This is how maintenance results (e.g.
+    ``operators.maintenance.delete_documents``, ``prune_postings``) become
+    durable: they return new lazily-planned handles over the OLD root's
+    tables, so ``path`` must be a DIFFERENT root (writing a table while
+    scanning it is undefined); swap directories after the write like any
+    blue/green layout flip."""
+    spark = index.docs.sparkSession
+    os.makedirs(path, exist_ok=True)
+    io = _StageIO(spark, path, catalog)
+    n = int(index.stats["n_docs"])
+    for stage, df in (("docs", index.docs), ("vocab", index.vocab),
+                      ("postings", index.postings)):
+        io.write(df, stage, {"config_hash": config_hash(index.cfg, stage),
+                             "input_rows": n})
+    with open(os.path.join(path, "index.json"), "w") as f:
+        json.dump({"config": asdict(index.cfg),
+                   "config_hash": config_hash(index.cfg),
+                   "stats": index.stats}, f, indent=1, sort_keys=True, default=str)
+
+
 def load_index(spark: SparkSession, path: str, catalog: str | None = None) -> InvertedIndex:
     """Open a persisted index — queries run against the persisted tables
     (parquet/Iceberg scans with pushdown), never against rebuild lineage."""

@@ -66,6 +66,45 @@ def main(argv=None):
     v.add_argument("--max-files-per-trigger", type=int, default=None,
                    help="micro-batch size in files (smoke/testing)")
 
+    d = sub.add_parser(
+        "delete",
+        help="index maintenance: remove documents (map-only postings "
+             "rewrite, frozen scoring statistics) and write a new index root")
+    d.add_argument("--index", required=True)
+    d.add_argument("--output", required=True,
+                   help="NEW index root (blue/green: must differ from --index)")
+    d.add_argument("--delete-ids", default=None,
+                   help="parquet with a doc_id column")
+    d.add_argument("--ids", default=None,
+                   help="comma-separated doc ids (small ad-hoc deletes)")
+
+    pr = sub.add_parser(
+        "prune",
+        help="index maintenance: drop posting lists by document frequency "
+             "(stopword / rare-term compaction) into a new index root")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--min-df", type=int, default=None)
+    pr.add_argument("--max-df", type=int, default=None)
+    pr.add_argument("--max-df-ratio", type=float, default=None)
+
+    bp = sub.add_parser(
+        "build-positional",
+        help="build the positional postings table (token offsets per "
+             "(term, doc) — the phrase-search layout)")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--output", required=True)
+    bp.add_argument("--doc-col", default="doc_id")
+    bp.add_argument("--content-col", default="content")
+
+    ph = sub.add_parser("phrase", help="exact phrase top-k over a positional table")
+    ph.add_argument("--positional", required=True,
+                    help="positional postings parquet (from build-positional)")
+    ph.add_argument("--phrases", required=True,
+                    help="parquet with (query_id long, content string) phrases")
+    ph.add_argument("--output", required=True)
+    ph.add_argument("--k", type=int, default=10)
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -107,7 +146,52 @@ def main(argv=None):
         print(f"built index at {args.index}: n_docs={idx.stats['n_docs']}")
         return 0
 
-    from invertedfiles_jl_spark.plans.pipeline import load_index
+    if args.cmd == "build-positional":
+        from invertedfiles_jl_spark.operators.positional import positional_postings
+
+        corpus = (spark.read.table(args.input) if "/" not in args.input
+                  else spark.read.parquet(args.input))
+        positional_postings(corpus, doc_col=args.doc_col,
+                            content_col=args.content_col).write.mode(
+            "overwrite").parquet(args.output)
+        print(f"wrote positional postings to {args.output}")
+        return 0
+
+    if args.cmd == "phrase":
+        from invertedfiles_jl_spark.operators.positional import phrase_topk
+
+        res = phrase_topk(spark.read.parquet(args.positional),
+                          spark.read.parquet(args.phrases), k=args.k)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote phrase results to {args.output}")
+        return 0
+
+    from invertedfiles_jl_spark.plans.pipeline import load_index, save_index
+
+    if args.cmd == "delete":
+        from invertedfiles_jl_spark.operators.maintenance import delete_documents
+
+        assert args.output != args.index, "--output must be a NEW index root"
+        idx = load_index(spark, args.index)
+        if args.delete_ids:
+            dels = spark.read.parquet(args.delete_ids)
+        elif args.ids:
+            dels = [int(x) for x in args.ids.split(",") if x.strip()]
+        else:
+            raise SystemExit("delete: pass --delete-ids or --ids")
+        save_index(delete_documents(idx, dels), args.output)
+        print(f"wrote deleted index to {args.output}")
+        return 0
+
+    if args.cmd == "prune":
+        from invertedfiles_jl_spark.operators.maintenance import prune_postings
+
+        assert args.output != args.index, "--output must be a NEW index root"
+        idx = load_index(spark, args.index)
+        save_index(prune_postings(idx, min_df=args.min_df, max_df=args.max_df,
+                                  max_df_ratio=args.max_df_ratio), args.output)
+        print(f"wrote pruned index to {args.output}")
+        return 0
 
     if args.cmd == "shard":
         from invertedfiles_jl_spark.operators.sharded import shard_postings

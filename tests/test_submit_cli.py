@@ -131,3 +131,83 @@ def test_cli_serve_matches_batch(spark, index_path, corpus_path, queries_path,
     batch = {(r.query_id, r["rank"]): r.doc_id
              for r in spark.read.parquet(batch_out).collect()}
     assert serve == batch
+
+
+def test_cli_delete_matches_library(spark, index_path, corpus_path,
+                                    queries_path, tmp_path):
+    """`delete` writes a loadable index root whose query results equal the
+    library's delete_documents over the same index."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.maintenance import delete_documents
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+    from invertedfiles_jl_spark.plans.pipeline import load_index
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    dels_path = str(tmp_path / "dels")
+    spark.read.parquet(corpus_path).filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id").write.mode("overwrite").parquet(dels_path)
+    out_idx = str(tmp_path / "idx_deleted")
+    rc = submit_main.main(["delete", "--index", index_path,
+                           "--output", out_idx, "--delete-ids", dels_path])
+    assert rc == 0
+    res_out = str(tmp_path / "res_deleted")
+    rc = submit_main.main(["query", "--index", out_idx, "--queries",
+                           queries_path, "--output", res_out,
+                           "--plan", "relational", "--rank-round", "6"])
+    assert rc == 0
+    got = _ranking(spark, res_out)
+    lib = delete_documents(
+        load_index(spark, index_path),
+        spark.read.parquet(dels_path))
+    want_rows = bm25_topk(lib, queries_df(spark), k=10, rank_round=6).collect()
+    want = {}
+    for r in want_rows:
+        want.setdefault(r.query_id, []).append((r["rank"], r.doc_id))
+    assert got == {q: sorted(v) for q, v in want.items()}
+
+
+def test_cli_prune_drops_hot_terms(spark, index_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.plans.pipeline import load_index
+
+    out_idx = str(tmp_path / "idx_pruned")
+    rc = submit_main.main(["prune", "--index", index_path,
+                           "--output", out_idx, "--max-df-ratio", "0.5"])
+    assert rc == 0
+    idx = load_index(spark, index_path)
+    pruned = load_index(spark, out_idx)
+    cap = int(0.5 * idx.stats["n_docs"])
+    hot_left = pruned.postings.join(
+        idx.vocab.filter(F.col("df") > cap).select("term_id"),
+        "term_id", "semi").count()
+    assert hot_left == 0
+    assert 0 < pruned.postings.count() < idx.postings.count()
+
+
+def test_cli_positional_phrase(spark, corpus_path, tmp_path):
+    """build-positional → phrase through the CLI equals the library path."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import (
+        phrase_topk,
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    pos_path = str(tmp_path / "positional")
+    rc = submit_main.main(["build-positional", "--input", corpus_path,
+                           "--output", pos_path])
+    assert rc == 0
+    phrases_path = str(tmp_path / "phrases")
+    phrases_df(spark).write.mode("overwrite").parquet(phrases_path)
+    out = str(tmp_path / "phrase_res")
+    rc = submit_main.main(["phrase", "--positional", pos_path,
+                           "--phrases", phrases_path, "--output", out])
+    assert rc == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    corpus = spark.read.parquet(corpus_path)
+    want = sorted(map(tuple, phrase_topk(
+        positional_postings(corpus), phrases_df(spark), k=10).collect()))
+    assert got == want and len(got) > 0

@@ -962,7 +962,10 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.sources.queries import phrases_df
 
     pos = positional_postings(_corpus(spark, sf_dir))
-    return phrase_topk(pos, phrases_df(spark), k=10)
+    # production path: rarest-slot candidate pruning guided by the built
+    # index's vocab df (pytest-gated identical to the unpruned plan)
+    vocab = _index(spark, sf_dir, "bm25").vocab
+    return phrase_topk(pos, phrases_df(spark), k=10, vocab=vocab)
 
 
 _DELETE_PRED = "doc_id % 7 = 3"  # deterministic ~14% delete fixture

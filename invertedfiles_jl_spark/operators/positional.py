@@ -118,7 +118,8 @@ def phrase_terms(queries: DataFrame, cfg: IndexConfig | None = None,
 
 
 def phrase_topk(positional: DataFrame, queries: DataFrame,
-                cfg: IndexConfig | None = None, k: int = 10) -> DataFrame:
+                cfg: IndexConfig | None = None, k: int = 10,
+                vocab: DataFrame | None = None) -> DataFrame:
     """Exact phrase top-k: rank docs by ``phrase_tf`` (number of phrase
     occurrences), tie-break doc_id asc — the same ``KnnSorted``
     deterministic-order contract as every other kernel (integer scores, so
@@ -129,6 +130,15 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
     term matches nothing (inner-join slot loss ⇒ n_off < m) — the phrase
     analogue of the empty-Q early return
     (/root/reference/src/invfilesearch.jl:44).
+
+    ``vocab`` — optional (term_id, df) dimension (any built index's vocab):
+    enables RAREST-SLOT candidate pruning, the positional analogue of Plan
+    B's bound-ordered list processing.  Each phrase seeds its candidate
+    (query, doc) pairs from its lowest-df slot only, and the expensive
+    group-agg shuffle carries candidates (≤ m·df_min rows per query)
+    instead of every slot occurrence (Σ df) — the win when a phrase mixes
+    a stopword-grade slot with a rare one.  Output is identical (a phrase
+    match must contain its rarest term; pytest-gated equality).
     """
     pt = phrase_terms(queries, cfg)
     matched = positional.join(
@@ -137,6 +147,22 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
         "query_id", "doc_id", "m", "offset",
         F.expr("transform(positions, p -> p - offset)").alias("shifted"),
     )
+    if vocab is not None:
+        from pyspark.sql import Window
+
+        # one surviving slot per query: lowest df, offset as the
+        # deterministic tie-break (the slot table is m rows per query)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("df").asc(), F.col("offset").asc())
+        rarest = (
+            pt.join(vocab.select("term_id", "df"), "term_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("term_id", "query_id")
+        )
+        cand = positional.join(F.broadcast(rarest), "term_id").select(
+            "query_id", "doc_id")
+        matched = matched.join(cand, ["query_id", "doc_id"], "left_semi")
     g = matched.groupBy("query_id", "doc_id").agg(
         F.first("m").alias("m"),
         F.countDistinct("offset").alias("n_off"),

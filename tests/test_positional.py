@@ -122,3 +122,17 @@ def test_phrase_plan_broadcasts_query_side(positional, spark):
     plan = phrase_topk(positional, phrases_df(spark), k=10)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_rarest_slot_pruning_identical(positional, corpus, spark, sf_dir):
+    """vocab-guided rarest-slot candidate pruning must not change output —
+    a phrase match always contains its rarest term."""
+    from invertedfiles_jl_spark.operators.build import build_index
+
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    base = sorted(tuple(r) for r in
+                  phrase_topk(positional, phrases_df(spark), k=10).collect())
+    pruned = sorted(tuple(r) for r in
+                    phrase_topk(positional, phrases_df(spark), k=10,
+                                vocab=idx.vocab).collect())
+    assert base == pruned and len(base) > 0

@@ -968,6 +968,27 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk(pos, phrases_df(spark), k=10, vocab=vocab)
 
 
+_PROX_SPAN = 8  # fixture slop: wide enough that never-adjacent bigrams match
+
+
+def _q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity top-k (sloppy phrase): rank = min ordered span of
+    the query terms within max_span tokens, asc; windowed running-max DP
+    over the positional index (operators/positional.proximity_topk), NOT an
+    m-way positions join.  Same fixture phrases as phrase_topk — the
+    never-adjacent bigram now matches inside the span budget."""
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+        proximity_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    pos = positional_postings(_corpus(spark, sf_dir))
+    vocab = _index(spark, sf_dir, "bm25").vocab
+    return proximity_topk(pos, phrases_df(spark), k=10, max_span=_PROX_SPAN,
+                          vocab=vocab)
+
+
 _DELETE_PRED = "doc_id % 7 = 3"  # deterministic ~14% delete fixture
 
 
@@ -1065,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fp,
         "positional_postings": _q_positional_postings,
         "phrase_topk": _q_phrase_topk,
+        "proximity_topk": _q_proximity_topk,
         "delete_docs_bm25_topk": _q_delete_bm25,
         "delete_docs_postings": _q_delete_postings,
         "pruned_bm25_topk": _q_pruned_bm25,
@@ -1119,6 +1141,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "rolling_fingerprint": _osql.rolling_fingerprint_sql(),
         "positional_postings": _osql.positional_postings_sql(),
         "phrase_topk": _osql.phrase_topk_sql(PHRASE_SET),
+        "proximity_topk": _osql.proximity_topk_sql(
+            PHRASE_SET, max_span=_PROX_SPAN),
         "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),
         "delete_docs_postings": f"""
 WITH {_BASE_CTES}

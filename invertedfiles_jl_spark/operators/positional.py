@@ -43,7 +43,7 @@ dominates — same role the block-max kernel plays for BM25.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.config import IndexConfig
@@ -117,6 +117,25 @@ def phrase_terms(queries: DataFrame, cfg: IndexConfig | None = None,
     )
 
 
+def _rarest_slot_candidates(positional: DataFrame, pt: DataFrame,
+                            vocab: DataFrame) -> DataFrame:
+    """(query_id, doc_id) candidate pairs seeded from each query's
+    lowest-df slot (offset asc as the deterministic tie-break).  A complete
+    phrase/chain match must contain its rarest term, so a left-semi join
+    against these pairs is a pure prune: the downstream shuffle carries
+    ≤ m·df_min rows per query instead of Σ df."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").asc(), F.col("offset").asc())
+    rarest = (
+        pt.join(vocab.select("term_id", "df"), "term_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("term_id", "query_id")
+    )
+    return positional.join(F.broadcast(rarest), "term_id").select(
+        "query_id", "doc_id")
+
+
 def phrase_topk(positional: DataFrame, queries: DataFrame,
                 cfg: IndexConfig | None = None, k: int = 10,
                 vocab: DataFrame | None = None) -> DataFrame:
@@ -148,20 +167,7 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
         F.expr("transform(positions, p -> p - offset)").alias("shifted"),
     )
     if vocab is not None:
-        from pyspark.sql import Window
-
-        # one surviving slot per query: lowest df, offset as the
-        # deterministic tie-break (the slot table is m rows per query)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("df").asc(), F.col("offset").asc())
-        rarest = (
-            pt.join(vocab.select("term_id", "df"), "term_id")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("term_id", "query_id")
-        )
-        cand = positional.join(F.broadcast(rarest), "term_id").select(
-            "query_id", "doc_id")
+        cand = _rarest_slot_candidates(positional, pt, vocab)
         matched = matched.join(cand, ["query_id", "doc_id"], "left_semi")
     g = matched.groupBy("query_id", "doc_id").agg(
         F.first("m").alias("m"),
@@ -181,3 +187,74 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
         .select("query_id", "doc_id", "phrase_tf")
     )
     return topk(scored, k, "phrase_tf", ascending=False)
+
+
+def proximity_topk(positional: DataFrame, queries: DataFrame,
+                   cfg: IndexConfig | None = None, k: int = 10,
+                   max_span: int | None = None,
+                   vocab: DataFrame | None = None) -> DataFrame:
+    """Ordered proximity top-k — the sloppy-phrase analogue of
+    :func:`phrase_topk`.  A doc matches iff its tokens contain the query's
+    terms IN ORDER at strictly increasing positions p_0 < … < p_{m-1};
+    score = ``min_span`` = min over such chains of ``p_{m-1} − p_0``
+    (``max_span`` optionally bounds it).  Rank: min_span ASC, doc_id ASC —
+    the KnnSorted contract with integer scores.  Exact phrase is the
+    ``max_span = m−1`` special case (m strictly increasing ints spanning
+    ≤ m−1 are consecutive; pytest-gated equivalence).
+
+    NOT an m-way positions join (that is Π df per doc on hot terms).  Min
+    span is a per-slot running-max DP: a chain ending at slot i, position
+    p can start no earlier than ``best(i,p) = max_{p' < p} best(i−1, p')``
+    — monotone in p', so each slot is ONE windowed running max over the
+    union of the previous slot's chain ends and this slot's events:
+
+      events (query, doc, slot, pos)    — Σ df rows, one broadcast join
+      slot 0: best = pos
+      slot i: max(best of slot i−1 rows) OVER (PARTITION query, doc
+              ORDER BY pos RANGE UNBOUNDED PRECEDING TO -1)   ← strict <
+      span(chain end) = pos − best;  min per (query, doc)
+
+    Work is O(Σ df · m) rows through m−1 window stages, every stage
+    hash-partitioned on the SAME (query_id, doc_id) key (AQE coalesces;
+    only matched rows move).  The RANGE −1 frame enforces strict position
+    increase, which makes duplicate-term queries ("scan scan") require two
+    distinct occurrences.  ``vocab`` enables the same rarest-slot candidate
+    prune as :func:`phrase_topk`.  The one driver-side action is
+    ``max(m)`` over the QUERY batch (tiny by contract, same as the sharded
+    plan's query collect).
+    """
+    pt = phrase_terms(queries, cfg)
+    events = positional.join(F.broadcast(pt), "term_id").select(
+        "query_id", "doc_id", "offset", "m",
+        F.explode("positions").alias("pos"))
+    if vocab is not None:
+        cand = _rarest_slot_candidates(positional, pt, vocab)
+        events = events.join(cand, ["query_id", "doc_id"], "left_semi")
+    max_m = pt.agg(F.max("m")).first()[0] or 0
+    chains = events.filter(F.col("offset") == 0).select(
+        "query_id", "doc_id", "m", "pos", F.col("pos").alias("best"))
+    completed = chains.filter(F.col("m") == 1)
+    w = (Window.partitionBy("query_id", "doc_id").orderBy("pos")
+         .rangeBetween(Window.unboundedPreceding, -1))
+    for i in range(1, max_m):
+        u = chains.select(
+            "query_id", "doc_id", "m", "pos", "best",
+            F.lit(0).alias("mk"),
+        ).unionByName(events.filter(F.col("offset") == i).select(
+            "query_id", "doc_id", "m", "pos",
+            F.lit(None).cast("int").alias("best"),
+            F.lit(1).alias("mk"),
+        ))
+        chains = (
+            u.withColumn(
+                "rb", F.max(F.when(F.col("mk") == 0, F.col("best"))).over(w))
+            .filter((F.col("mk") == 1) & F.col("rb").isNotNull())
+            .select("query_id", "doc_id", "m", "pos",
+                    F.col("rb").alias("best"))
+        )
+        completed = completed.unionByName(chains.filter(F.col("m") == i + 1))
+    scored = completed.groupBy("query_id", "doc_id").agg(
+        (F.min(F.col("pos") - F.col("best"))).cast("long").alias("min_span"))
+    if max_span is not None:
+        scored = scored.filter(F.col("min_span") <= max_span)
+    return topk(scored, k, "min_span", ascending=True)

@@ -496,3 +496,57 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, phrase_tf FROM ranked WHERE rank <= {k}
 """
+
+
+def proximity_topk_sql(phrases: list[tuple[int, str]], k: int = 10,
+                       max_span: int | None = None) -> str:
+    """Ordered-proximity oracle mirroring ``proximity_topk``: per query an
+    explicit m-way self-join over per-slot position lists (fine at fixture
+    scale; the Spark kernel's windowed DP avoids exactly this blowup),
+    min span per doc, rank min_span ASC / doc_id ASC.  Filtering chains to
+    ``max_span`` after the min is equivalent to filtering before it: the
+    min is unchanged whenever any chain survives."""
+    ctes, branches = [], []
+    for qid, text in phrases:
+        ws = text.lower().split()
+        m = len(ws)
+        for j, wd in enumerate(ws):
+            ctes.append(
+                f"e_{qid}_{j} AS (SELECT doc_id, unnest(list_filter("
+                f"range(1, len(ts) + 1), i -> ts[i] = '{wd}')) AS p FROM toks)"
+            )
+        if m == 1:
+            branches.append(
+                f"  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,\n"
+                f"         CAST(0 AS BIGINT) AS min_span\n"
+                f"  FROM e_{qid}_0 GROUP BY doc_id"
+            )
+            continue
+        joins = "".join(
+            f"\n  JOIN e_{qid}_{j} e{j} ON e{j}.doc_id = e0.doc_id "
+            f"AND e{j}.p > e{j - 1}.p" for j in range(1, m))
+        branches.append(
+            f"  SELECT CAST({qid} AS BIGINT) AS query_id, e0.doc_id,\n"
+            f"         CAST(min(e{m - 1}.p - e0.p) AS BIGINT) AS min_span\n"
+            f"  FROM e_{qid}_0 e0{joins}\n"
+            f"  GROUP BY e0.doc_id"
+        )
+    cte_sql = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(branches)
+    span_pred = "TRUE" if max_span is None else f"min_span <= {max_span}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+),
+{cte_sql},
+scored AS (
+{union}
+),
+ranked AS (
+  SELECT query_id, doc_id, min_span,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY min_span ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored WHERE {span_pred}
+)
+SELECT query_id, rank, doc_id, min_span FROM ranked WHERE rank <= {k}
+"""

@@ -16,11 +16,13 @@ from invertedfiles_jl_spark.operators.positional import (
     phrase_terms,
     phrase_topk,
     positional_postings,
+    proximity_topk,
 )
 from invertedfiles_jl_spark.config import IndexConfig
 from invertedfiles_jl_spark.plans.oracles import (
     phrase_topk_sql,
     positional_postings_sql,
+    proximity_topk_sql,
 )
 from invertedfiles_jl_spark.sources.queries import PHRASE_SET, phrases_df
 
@@ -136,3 +138,97 @@ def test_phrase_rarest_slot_pruning_identical(positional, corpus, spark, sf_dir)
                     phrase_topk(positional, phrases_df(spark), k=10,
                                 vocab=idx.vocab).collect())
     assert base == pruned and len(base) > 0
+
+
+# ---------------------------------------------------------------------------
+# ordered proximity (sloppy phrase)
+# ---------------------------------------------------------------------------
+
+
+def _naive_min_span(ts: list[str], ws: list[str]) -> int | None:
+    """Reference DP: minimal ordered span of ws inside ts (None = no chain).
+    best(i, p) = max start of a chain ending slot i at position p."""
+    cur = {i: i for i, t in enumerate(ts) if t == ws[0]}
+    for w in ws[1:]:
+        if not cur:
+            return None
+        items = sorted(cur.items())
+        nxt = {}
+        for p, t in enumerate(ts):
+            if t != w:
+                continue
+            starts = [b for pp, b in items if pp < p]
+            if starts:
+                nxt[p] = max(starts)
+        cur = nxt
+    return min((p - b for p, b in cur.items()), default=None)
+
+
+def test_proximity_inline_corpus(spark):
+    """Pin min-span semantics against naive DP on a corpus exercising
+    duplicate terms, out-of-order occurrences and multiple chains."""
+    docs = [
+        (0, "a x x b"),        # span 3
+        (1, "b a"),            # out of order only -> no ordered chain
+        (2, "a a b"),          # two chains, min span 1
+        (3, "a b a b"),        # overlapping, min span 1
+        (4, "a x x x x x b"),  # span 6
+        (5, "c c"),            # duplicate-term query target
+        (6, "c"),              # single occurrence: "c c" must NOT match
+    ]
+    phrases = [(1, "a b"), (2, "c c"), (3, "a")]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    res = proximity_topk(
+        positional_postings(corpus),
+        spark.createDataFrame(phrases, "query_id long, content string"),
+        k=10)
+    got = {(r.query_id, r.doc_id): r.min_span for r in res.collect()}
+    want = {}
+    for qid, ph in phrases:
+        for did, text in docs:
+            s = _naive_min_span(text.split(), ph.split())
+            if s is not None:
+                want[(qid, did)] = s
+    assert got == want
+    assert want[(1, 0)] == 3 and want[(2, 5)] == 1 and (2, 6) not in want
+
+
+def test_proximity_matches_oracle(positional, spark, sf_dir):
+    res = proximity_topk(positional, phrases_df(spark), k=10, max_span=8)
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(tuple(r) for r in _duck(sf_dir).execute(
+        proximity_topk_sql(PHRASE_SET, 10, max_span=8)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_proximity_phrase_special_case(positional, spark):
+    """max_span = m−1 with strictly increasing positions ⇒ consecutive:
+    the proximity match SET must equal the exact-phrase match set."""
+    ph = phrase_topk(positional, phrases_df(spark), k=10 ** 6)
+    phrase_set = {(r.query_id, r.doc_id) for r in ph.collect()}
+    m_by_q = {qid: len(t.split()) for qid, t in PHRASE_SET}
+    prox = proximity_topk(positional, phrases_df(spark), k=10 ** 6)
+    prox_set = {
+        (r.query_id, r.doc_id) for r in prox.collect()
+        if r.min_span <= m_by_q[r.query_id] - 1
+    }
+    assert prox_set == phrase_set and len(phrase_set) > 0
+
+
+def test_proximity_rarest_slot_pruning_identical(positional, corpus, spark):
+    from invertedfiles_jl_spark.operators.build import build_index
+
+    idx = build_index(corpus, IndexConfig(weighting="binary"))
+    base = sorted(tuple(r) for r in proximity_topk(
+        positional, phrases_df(spark), k=10, max_span=8).collect())
+    pruned = sorted(tuple(r) for r in proximity_topk(
+        positional, phrases_df(spark), k=10, max_span=8,
+        vocab=idx.vocab).collect())
+    assert base == pruned and len(base) > 0
+
+
+def test_proximity_plan_no_sortmergejoin(positional, spark):
+    plan = proximity_topk(positional, phrases_df(spark), k=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -369,6 +369,16 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the verified MinHash near-dup pairs — the
+    dedup decision step (keep doc_id == cluster_id, drop the rest).  Spark
+    side: min-label propagation until a round changes nothing; oracle:
+    recursive reachability CTE."""
+    from invertedfiles_jl_spark.operators.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _q_ngram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invertedfiles_jl_spark.operators.dedup import ngram_set_duplicates
 
@@ -1060,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_jaccard_topk": _q_sharded_jaccard,
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
+        "near_dup_clusters": _q_near_dup_clusters,
         "ngram_set_dups": _q_ngram_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -1121,6 +1132,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "sharded_jaccard_topk": _set_dist_sql("jaccard"),
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
+        "near_dup_clusters": _osql.near_dup_clusters_sql(),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),
         "simhash": _osql.simhash_sql(),
         "lang_id": _osql.lang_id_sql(),

@@ -148,6 +148,64 @@ def near_duplicates_minhash(df: DataFrame, cfg: IndexConfig | None = None,
     return out
 
 
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(doc_id, label) connected components of an undirected edge list
+    (doc_a, doc_b); label = component-min doc_id.  Min-label propagation:
+    each round joins labels to the symmetric edge list, takes the min
+    neighbor label per node, and keeps the smaller of own/neighbor —
+    exact after ``diameter`` rounds.  Near-dup components are cliquish
+    (members collide in most LSH bands with most other members), so the
+    diameter — the round count — is small; each round is one shuffle keyed
+    on doc_id over component nodes only.  Lineage is cut per round with
+    ``localCheckpoint`` (iterative plans otherwise nest ``max_iter`` deep).
+    At web scale with adversarial long-chain graphs the alternating
+    large-star/small-star transform bounds rounds by log(n); propagation
+    is the simpler exact choice for dup graphs."""
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
+        .union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    labels = sym.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("label", F.col("doc_id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.select(F.col("doc_id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr, "doc_id", "left")
+            .select("doc_id", "old",
+                    F.least("old", F.coalesce("nbr_label", "old")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.select("doc_id", "label")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter (raise it, or switch to a "
+        "star-contraction variant for adversarial chain graphs)")
+
+
+def near_duplicate_clusters(df: DataFrame, cfg: IndexConfig | None = None,
+                            n: int = 3, threshold: float = 0.5,
+                            doc_col: str = "doc_id",
+                            content_col: str = "content") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — transitive closure of the
+    verified MinHash near-dup pairs: the dedup DECISION step.  Keeping
+    ``cluster_id`` (= min doc_id of the component) per member is exactly
+    the keep-one-per-cluster policy: keep rows where
+    ``doc_id = cluster_id``, drop the rest.  Only docs in ≥2-member
+    components appear (singletons need no decision)."""
+    pairs = near_duplicates_minhash(df, cfg, n, threshold, doc_col, content_col)
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+
+
 def ngram_set_duplicates(df: DataFrame, cfg: IndexConfig | None = None, n: int = 3,
                          doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """Exact dedup on the n-gram shingle SET fingerprint (order-insensitive

@@ -77,6 +77,35 @@ WHERE isize / (sa.sz + sb.sz - isize) >= {threshold}
 """
 
 
+def near_dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components of the verified MinHash pair graph via a
+    recursive reachability CTE (label = min reachable doc_id) — the
+    closed-form mirror of the Spark side's min-label propagation loop."""
+    pairs = minhash_near_dups_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.label FROM reach r JOIN edges e ON e.a = r.doc_id
+),
+lab AS (
+  SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc_id
+),
+szs AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size FROM lab JOIN szs USING (cluster_id)
+"""
+
+
 def ngram_set_dups_sql() -> str:
     return f"""
 WITH sh AS (

@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from invertedfiles_jl_spark.config import IndexConfig
 from invertedfiles_jl_spark.operators.dedup import (
+    connected_components,
     exact_duplicates,
+    near_duplicate_clusters,
     near_duplicates_minhash,
     ngram_set_duplicates,
     simhash,
@@ -109,3 +111,42 @@ def test_simhash_identical_docs_collide(corpus_with_dups):
                (F.col("doc_id") < 5) | (F.col("doc_id") >= 10000)), CFG).collect()}
     for d in range(5):
         assert got[d] == got[d + 10000]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to one component labeled by its min; the
+    isolated pair keeps its own label; singletons never appear."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_transitive_closure(documents, docs_pandas):
+    """Cluster labels must equal the transitive closure of the verified
+    pair graph computed by a python union-find over the same pairs."""
+    base = documents.select("doc_id", F.col("text").alias("content"))
+    pairs = [(r.doc_a, r.doc_b) for r in
+             near_duplicates_minhash(base, CFG, threshold=0.5).collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in parent:
+        want.setdefault(find(x), set()).add(x)
+    got = {}
+    for r in near_duplicate_clusters(base, CFG, threshold=0.5).collect():
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.cluster_size == len(want[find(r.cluster_id)])
+    assert got == {min(m): m for m in want.values()}

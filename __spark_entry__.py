@@ -999,6 +999,22 @@ def _q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           vocab=vocab)
 
 
+def _q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight surface: proximity top-k plus the earliest minimal ordered
+    window and its token slice (operators/positional.snippet_topk)."""
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+        snippet_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    corpus = _corpus(spark, sf_dir)
+    pos = positional_postings(corpus)
+    vocab = _index(spark, sf_dir, "bm25").vocab
+    return snippet_topk(pos, phrases_df(spark), corpus, k=10,
+                        max_span=_PROX_SPAN, vocab=vocab)
+
+
 _DELETE_PRED = "doc_id % 7 = 3"  # deterministic ~14% delete fixture
 
 
@@ -1098,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": _q_positional_postings,
         "phrase_topk": _q_phrase_topk,
         "proximity_topk": _q_proximity_topk,
+        "snippet_topk": _q_snippet_topk,
         "delete_docs_bm25_topk": _q_delete_bm25,
         "delete_docs_postings": _q_delete_postings,
         "pruned_bm25_topk": _q_pruned_bm25,
@@ -1154,6 +1171,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "positional_postings": _osql.positional_postings_sql(),
         "phrase_topk": _osql.phrase_topk_sql(PHRASE_SET),
         "proximity_topk": _osql.proximity_topk_sql(
+            PHRASE_SET, max_span=_PROX_SPAN),
+        "snippet_topk": _osql.snippet_topk_sql(
             PHRASE_SET, max_span=_PROX_SPAN),
         "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),
         "delete_docs_postings": f"""

@@ -223,6 +223,21 @@ def proximity_topk(positional: DataFrame, queries: DataFrame,
     ``max(m)`` over the QUERY batch (tiny by contract, same as the sharded
     plan's query collect).
     """
+    completed = _chain_ends(positional, queries, cfg, vocab)
+    scored = completed.groupBy("query_id", "doc_id").agg(
+        (F.min(F.col("pos") - F.col("best"))).cast("long").alias("min_span"))
+    if max_span is not None:
+        scored = scored.filter(F.col("min_span") <= max_span)
+    return topk(scored, k, "min_span", ascending=True)
+
+
+def _chain_ends(positional: DataFrame, queries: DataFrame,
+                cfg: IndexConfig | None, vocab: DataFrame | None) -> DataFrame:
+    """The proximity DP (see :func:`proximity_topk`): complete-chain ends
+    (query_id, doc_id, pos, best) where ``best`` is the MAX start of any
+    ordered chain ending at ``pos`` — so ``pos − best`` is the tightest
+    window ending there, and every minimal window of the doc appears as
+    one of these rows."""
     pt = phrase_terms(queries, cfg)
     events = positional.join(F.broadcast(pt), "term_id").select(
         "query_id", "doc_id", "offset", "m",
@@ -253,8 +268,50 @@ def proximity_topk(positional: DataFrame, queries: DataFrame,
                     F.col("rb").alias("best"))
         )
         completed = completed.unionByName(chains.filter(F.col("m") == i + 1))
-    scored = completed.groupBy("query_id", "doc_id").agg(
-        (F.min(F.col("pos") - F.col("best"))).cast("long").alias("min_span"))
+    return completed.select("query_id", "doc_id", "pos", "best")
+
+
+def snippet_topk(positional: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 cfg: IndexConfig | None = None, k: int = 10,
+                 max_span: int | None = None,
+                 vocab: DataFrame | None = None,
+                 doc_col: str = "doc_id",
+                 content_col: str = "content") -> DataFrame:
+    """Proximity top-k WITH the matched window text — the highlight/snippet
+    surface: (query_id, rank, doc_id, min_span, start, snippet) where
+    ``[start, start+min_span]`` is the EARLIEST minimal ordered window
+    (0-based token offsets) and ``snippet`` is its space-joined tokens.
+
+    Every minimal window [s, e] is a chain-end row with ``best(e) = s``
+    (``best`` maximizes the start per end, so a smaller start would mean a
+    smaller span), hence ``min(struct(span, start))`` picks exactly the
+    earliest minimal window.  Snippet text is a pure-JVM ``slice`` of the
+    SAME filtered token array the index was built from — one broadcast-
+    joinable projection of the corpus, no second tokenize pass shape.
+    Ranking contract: min_span ASC, doc_id ASC (KnnSorted)."""
+    cfg = cfg or IndexConfig()
+    ends = _chain_ends(positional, queries, cfg, vocab)
+    scored = ends.groupBy("query_id", "doc_id").agg(
+        F.min(F.struct(
+            (F.col("pos") - F.col("best")).alias("min_span"),
+            F.col("best").alias("start"),
+        )).alias("mw"))
+    scored = scored.select(
+        "query_id", "doc_id",
+        F.col("mw.min_span").cast("long").alias("min_span"),
+        F.col("mw.start").cast("long").alias("start"))
     if max_span is not None:
         scored = scored.filter(F.col("min_span") <= max_span)
-    return topk(scored, k, "min_span", ascending=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("min_span").asc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+    toks = corpus.select(
+        F.col(doc_col).alias("doc_id"),
+        F.expr(_token_array_sql(content_col, cfg)).alias("ts"))
+    # ranked is Q·k rows — broadcast it at the corpus scan, never shuffle docs
+    return toks.join(F.broadcast(ranked), "doc_id").select(
+        "query_id", "rank", "doc_id", "min_span", "start",
+        F.concat_ws(" ", F.expr(
+            "slice(ts, cast(start + 1 as int), cast(min_span + 1 as int))"
+        )).alias("snippet"))

@@ -77,6 +77,75 @@ WHERE isize / (sa.sz + sb.sz - isize) >= {threshold}
 """
 
 
+def snippet_topk_sql(phrases: list[tuple[int, str]], k: int = 10,
+                     max_span: int | None = None) -> str:
+    """Snippet oracle mirroring ``snippet_topk``: enumerate chains (m-way
+    join, fixture scale), take min span per doc, then the EARLIEST start
+    among spans equal to the min; snippet = the 0-based token slice.
+    Oracle chain positions are 1-based (``range(1, len+1)``) — ``start``
+    is shifted to the Spark kernel's 0-based offset space."""
+    ctes, branches = [], []
+    for qid, text in phrases:
+        ws = text.lower().split()
+        m = len(ws)
+        for j, wd in enumerate(ws):
+            ctes.append(
+                f"s_{qid}_{j} AS (SELECT doc_id, unnest(list_filter("
+                f"range(1, len(ts) + 1), i -> ts[i] = '{wd}')) AS p FROM toks)"
+            )
+        if m == 1:
+            branches.append(
+                f"  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,\n"
+                f"         CAST(0 AS BIGINT) AS span,"
+                f" CAST(p - 1 AS BIGINT) AS start\n"
+                f"  FROM s_{qid}_0"
+            )
+            continue
+        joins = "".join(
+            f"\n  JOIN s_{qid}_{j} e{j} ON e{j}.doc_id = e0.doc_id "
+            f"AND e{j}.p > e{j - 1}.p" for j in range(1, m))
+        branches.append(
+            f"  SELECT CAST({qid} AS BIGINT) AS query_id, e0.doc_id,\n"
+            f"         CAST(e{m - 1}.p - e0.p AS BIGINT) AS span,"
+            f" CAST(e0.p - 1 AS BIGINT) AS start\n"
+            f"  FROM s_{qid}_0 e0{joins}"
+        )
+    cte_sql = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(branches)
+    span_pred = "TRUE" if max_span is None else f"min_span <= {max_span}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+),
+{cte_sql},
+chains AS (
+{union}
+),
+agg AS (
+  SELECT query_id, doc_id, min(span) AS min_span
+  FROM chains GROUP BY query_id, doc_id
+),
+pick AS (
+  SELECT c.query_id, c.doc_id, a.min_span, min(c.start) AS start
+  FROM chains c
+  JOIN agg a ON a.query_id = c.query_id AND a.doc_id = c.doc_id
+            AND c.span = a.min_span
+  GROUP BY c.query_id, c.doc_id, a.min_span
+),
+ranked AS (
+  SELECT query_id, doc_id, min_span, start,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY min_span ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM pick WHERE {span_pred}
+)
+SELECT r.query_id, r.rank, r.doc_id, r.min_span, r.start,
+       array_to_string(list_slice(t.ts, CAST(r.start + 1 AS INTEGER),
+           CAST(r.start + 1 + r.min_span AS INTEGER)), ' ') AS snippet
+FROM ranked r JOIN toks t ON t.doc_id = r.doc_id
+WHERE r.rank <= {k}
+"""
+
+
 def near_dup_clusters_sql(threshold: float = 0.5) -> str:
     """Connected components of the verified MinHash pair graph via a
     recursive reachability CTE (label = min reachable doc_id) — the

@@ -232,3 +232,37 @@ def test_proximity_plan_no_sortmergejoin(positional, spark):
         .queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_snippet_inline_corpus(spark):
+    """Earliest minimal window + its token slice, pinned by hand."""
+    from invertedfiles_jl_spark.operators.positional import snippet_topk
+
+    docs = [
+        (0, "a x b q a b"),    # minimal span 1 at start 4 ("a b")
+        (1, "a y y b"),        # only window: span 3 at 0
+        (2, "b a"),            # no ordered chain
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    res = snippet_topk(
+        positional_postings(corpus), spark.createDataFrame(
+            [(1, "a b")], "query_id long, content string"), corpus, k=10)
+    got = {r.doc_id: (r.min_span, r.start, r.snippet) for r in res.collect()}
+    assert got == {0: (1, 4, "a b"), 1: (3, 0, "a y y b")}
+    ranks = {r.doc_id: r.rank for r in res.collect()}
+    assert ranks == {0: 1, 1: 2}
+
+
+def test_snippet_matches_oracle(positional, corpus, spark, sf_dir):
+    from invertedfiles_jl_spark.operators.positional import snippet_topk
+    from invertedfiles_jl_spark.plans.oracles import snippet_topk_sql
+
+    res = snippet_topk(positional, phrases_df(spark), corpus, k=10, max_span=8)
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(tuple(r) for r in _duck(sf_dir).execute(
+        snippet_topk_sql(PHRASE_SET, 10, max_span=8)).fetchall())
+    assert got == want and len(got) > 0
+    # the ranked (query, doc, min_span) triples must agree with proximity
+    prox = {(r.query_id, r.doc_id): r.min_span for r in proximity_topk(
+        positional, phrases_df(spark), k=10, max_span=8).collect()}
+    assert {(r[0], r[2]): r[3] for r in got} == prox

@@ -61,6 +61,25 @@ def gen_queries(spark, n=N_QUERIES):
     return spark.createDataFrame(rows, "query_id long, content string")
 
 
+def gen_phrases(spark, corpus, n=N_QUERIES):
+    """Deterministic n-phrase batch: real bigrams lifted from evenly-spaced
+    corpus docs (tokens 3-4 of each sampled doc), so phrase hits exist but
+    are not universal.  No RNG — same protocol as gen_queries."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        corpus.withColumn("ts", F.split(F.lower("content"), r"\s+"))
+        .filter(F.size("ts") >= 5)
+        .select("doc_id", F.concat_ws(" ", F.expr("slice(ts, 4, 2)")).alias("ph"))
+        .orderBy("doc_id")
+        .limit(n * 10)
+        .collect()
+    )
+    step = max(1, len(docs) // n)
+    rows = [(i + 1, docs[(i * step) % len(docs)]["ph"]) for i in range(n)]
+    return spark.createDataFrame(rows, "query_id long, content string")
+
+
 def scaled_corpus(spark, factor: int):
     """Deterministically replicate the corpus ×factor with shifted doc_ids —
     makes the scaling measurement compute-bound instead of overhead-bound."""
@@ -286,6 +305,29 @@ def run_once(cpus: int) -> dict:
         out["jaccard_sharded_100q"] = timed_query(
             sharded_set_topk, bidx, qdf, k=10, dist="jaccard",
             sharded=bsharded, assume_colocated=True)
+
+        # positional index + phrase/proximity serving (persisted layout so
+        # the query rows time serving, not the build)
+        from invertedfiles_jl_spark.operators.positional import (
+            phrase_topk,
+            positional_postings,
+            proximity_topk,
+        )
+
+        pdf = gen_phrases(spark, corpus)
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            positional_postings(corpus).write.mode("overwrite").parquet(
+                f"{tmp}/pos{i}")
+            ts.append(time.perf_counter() - t0)
+        out["build_positional"] = min(ts)
+        pos = spark.read.parquet(f"{tmp}/pos2")
+        pos.count()
+        out["phrase_100q"] = timed_query(
+            phrase_topk, pos, pdf, k=10, vocab=idx.vocab)
+        out["proximity_100q"] = timed_query(
+            proximity_topk, pos, pdf, k=10, max_span=8, vocab=idx.vocab)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -97,13 +97,25 @@ def main(argv=None):
     bp.add_argument("--doc-col", default="doc_id")
     bp.add_argument("--content-col", default="content")
 
-    ph = sub.add_parser("phrase", help="exact phrase top-k over a positional table")
+    ph = sub.add_parser("phrase", help="phrase / proximity / snippet top-k "
+                                       "over a positional table")
     ph.add_argument("--positional", required=True,
                     help="positional postings parquet (from build-positional)")
     ph.add_argument("--phrases", required=True,
                     help="parquet with (query_id long, content string) phrases")
     ph.add_argument("--output", required=True)
     ph.add_argument("--k", type=int, default=10)
+    ph.add_argument("--mode", default="phrase",
+                    choices=["phrase", "proximity", "snippet"],
+                    help="phrase = exact consecutive match (rank by count); "
+                         "proximity = ordered min-span; snippet = proximity "
+                         "plus the earliest minimal window text")
+    ph.add_argument("--max-span", type=int, default=None,
+                    help="proximity/snippet: drop docs whose min ordered "
+                         "span exceeds this")
+    ph.add_argument("--corpus", default=None,
+                    help="snippet mode: corpus parquet/table for the window "
+                         "text (doc_id, content)")
 
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
@@ -158,12 +170,28 @@ def main(argv=None):
         return 0
 
     if args.cmd == "phrase":
-        from invertedfiles_jl_spark.operators.positional import phrase_topk
+        from invertedfiles_jl_spark.operators.positional import (
+            phrase_topk,
+            proximity_topk,
+            snippet_topk,
+        )
 
-        res = phrase_topk(spark.read.parquet(args.positional),
-                          spark.read.parquet(args.phrases), k=args.k)
+        pos = spark.read.parquet(args.positional)
+        phrases = spark.read.parquet(args.phrases)
+        if args.mode == "phrase":
+            res = phrase_topk(pos, phrases, k=args.k)
+        elif args.mode == "proximity":
+            res = proximity_topk(pos, phrases, k=args.k,
+                                 max_span=args.max_span)
+        else:
+            assert args.corpus, "--corpus is required with --mode snippet"
+            corpus = (spark.read.table(args.corpus)
+                      if "/" not in args.corpus
+                      else spark.read.parquet(args.corpus))
+            res = snippet_topk(pos, phrases, corpus, k=args.k,
+                               max_span=args.max_span)
         res.write.mode("overwrite").parquet(args.output)
-        print(f"wrote phrase results to {args.output}")
+        print(f"wrote {args.mode} results to {args.output}")
         return 0
 
     from invertedfiles_jl_spark.plans.pipeline import load_index, save_index

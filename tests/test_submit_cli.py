@@ -211,3 +211,42 @@ def test_cli_positional_phrase(spark, corpus_path, tmp_path):
     want = sorted(map(tuple, phrase_topk(
         positional_postings(corpus), phrases_df(spark), k=10).collect()))
     assert got == want and len(got) > 0
+
+
+def test_cli_proximity_and_snippet_modes(spark, corpus_path, tmp_path):
+    """--mode proximity/snippet through the CLI equals the library paths."""
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+        proximity_topk,
+        snippet_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    pos_path = str(tmp_path / "positional")
+    assert submit_main.main(["build-positional", "--input", corpus_path,
+                             "--output", pos_path]) == 0
+    phrases_path = str(tmp_path / "phrases")
+    phrases_df(spark).write.mode("overwrite").parquet(phrases_path)
+    corpus = spark.read.parquet(corpus_path)
+    pos = positional_postings(corpus)
+
+    out = str(tmp_path / "prox_res")
+    assert submit_main.main(["phrase", "--mode", "proximity",
+                             "--positional", pos_path,
+                             "--phrases", phrases_path,
+                             "--max-span", "8", "--output", out]) == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, proximity_topk(
+        pos, phrases_df(spark), k=10, max_span=8).collect()))
+    assert got == want and len(got) > 0
+
+    out2 = str(tmp_path / "snip_res")
+    assert submit_main.main(["phrase", "--mode", "snippet",
+                             "--positional", pos_path,
+                             "--phrases", phrases_path,
+                             "--max-span", "8", "--corpus", corpus_path,
+                             "--output", out2]) == 0
+    got2 = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    want2 = sorted(map(tuple, snippet_topk(
+        pos, phrases_df(spark), corpus, k=10, max_span=8).collect()))
+    assert got2 == want2 and len(got2) > 0

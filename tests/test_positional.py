@@ -266,3 +266,41 @@ def test_snippet_matches_oracle(positional, corpus, spark, sf_dir):
     prox = {(r.query_id, r.doc_id): r.min_span for r in proximity_topk(
         positional, phrases_df(spark), k=10, max_span=8).collect()}
     assert {(r[0], r[2]): r[3] for r in got} == prox
+
+
+def test_positional_random_stress(spark):
+    """Seeded random stress: tiny alphabet (max duplicate-term/overlap
+    pathology), 80 docs x 12 queries; phrase counts and min spans vs the
+    naive python oracles in one Spark pass."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    alpha = ["a", "b", "c", "d"]
+    docs = [(i, " ".join(rng.choice(alpha, size=rng.integers(1, 30))))
+            for i in range(80)]
+    queries = [(i + 1, " ".join(rng.choice(alpha, size=rng.integers(1, 4))))
+               for i in range(12)]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    qdf = spark.createDataFrame(queries, "query_id long, content string")
+    pos = positional_postings(corpus)
+
+    big = 10 ** 6
+    got_ph = {(r.query_id, r.doc_id): r.phrase_tf
+              for r in phrase_topk(pos, qdf, k=big).collect()}
+    want_ph = {}
+    for qid, ph in queries:
+        for did, text in docs:
+            n = _naive_phrase_tf(text, ph)
+            if n > 0:
+                want_ph[(qid, did)] = n
+    assert got_ph == want_ph
+
+    got_px = {(r.query_id, r.doc_id): r.min_span
+              for r in proximity_topk(pos, qdf, k=big).collect()}
+    want_px = {}
+    for qid, ph in queries:
+        for did, text in docs:
+            s = _naive_min_span(text.split(), ph.split())
+            if s is not None:
+                want_px[(qid, did)] = s
+    assert got_px == want_px and len(got_px) > len(want_ph)

@@ -369,6 +369,33 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_FRACS = {"en": 0.3, "zh": 1.0}  # rebalance: downsample en, keep zh
+_SAMPLE_DEFAULT = 0.5
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, append-stable train/val/test assignment (map-only md5
+    bucket thresholding, operators/sampling.hash_split)."""
+    from invertedfiles_jl_spark.operators.sampling import hash_split
+
+    return hash_split(_corpus(spark, sf_dir), _SPLIT_WEIGHTS) \
+        .select("doc_id", "split")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling
+    (operators/sampling.stratified_sample) on the raw documents table."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    return stratified_sample(docs, _SAMPLE_FRACS, "lang",
+                             default=_SAMPLE_DEFAULT)
+
+
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the verified MinHash near-dup pairs — the
     dedup decision step (keep doc_id == cluster_id, drop the rest).  Spark
@@ -1087,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
         "ngram_set_dups": _q_ngram_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -1150,6 +1179,9 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
+        "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
+        "stratified_sample": _osql.stratified_sample_sql(
+            _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),
         "simhash": _osql.simhash_sql(),
         "lang_id": _osql.lang_id_sql(),

@@ -146,6 +146,49 @@ WHERE r.rank <= {k}
 """
 
 
+def hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:
+    """Mirror of ``sampling.hash_split`` over documents: identical md5
+    bucket, identical cumulative thresholds."""
+    from invertedfiles_jl_spark.operators.sampling import (
+        _thresholds,
+        duckdb_split_bucket_sql,
+    )
+
+    nt = _thresholds(weights)
+    cases = " ".join(
+        f"WHEN b < {t} THEN '{name}'" for name, t in nt[:-1])
+    case = (f"CASE {cases} ELSE '{nt[-1][0]}' END" if cases
+            else f"'{nt[-1][0]}'")
+    return f"""
+WITH b AS (
+  SELECT doc_id, {duckdb_split_bucket_sql('doc_id', salt)} AS b
+  FROM documents
+)
+SELECT doc_id, {case} AS split FROM b
+"""
+
+
+def stratified_sample_sql(fractions: dict[str, float], strata_col: str,
+                          default: float = 0.0,
+                          salt: str = "sample") -> str:
+    """Mirror of ``sampling.stratified_sample`` over documents."""
+    from invertedfiles_jl_spark.operators.sampling import (
+        HASH_SPACE,
+        duckdb_split_bucket_sql,
+    )
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {int(frac * HASH_SPACE)}"
+        for name, frac in fractions.items())
+    thr = (f"CASE {cases} ELSE {int(default * HASH_SPACE)} END" if cases
+           else str(int(default * HASH_SPACE)))
+    return f"""
+SELECT doc_id, {strata_col}
+FROM documents
+WHERE {duckdb_split_bucket_sql('doc_id', salt)} < {thr}
+"""
+
+
 def near_dup_clusters_sql(threshold: float = 0.5) -> str:
     """Connected components of the verified MinHash pair graph via a
     recursive reachability CTE (label = min reachable doc_id) — the

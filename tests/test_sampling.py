@@ -1,0 +1,87 @@
+"""Deterministic sampling/splitting (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.operators.sampling import (
+    HASH_SPACE,
+    hash_split,
+    stratified_sample,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+
+
+def test_split_deterministic_and_total(docs):
+    a = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    assert a == b and len(a) == docs.count()
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # 500 docs: binomial(500, .8) is within ±6 sigma of these bounds
+    assert counts["train"] > 330 and counts["val"] > 10 and counts["test"] > 10
+
+
+def test_split_append_stable(docs):
+    """Splitting a SUBSET assigns each doc identically — appends never
+    reassign (the property randomSplit lacks)."""
+    full = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    half = {r.doc_id: r.split
+            for r in hash_split(docs.filter("doc_id % 2 = 0"),
+                                WEIGHTS).collect()}
+    assert half == {d: s for d, s in full.items() if d % 2 == 0}
+
+
+def test_split_salt_independence(docs):
+    a = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(docs, WEIGHTS, salt="v2").collect()}
+    assert a != b  # a re-salt is a fresh assignment
+
+
+def test_stratified_rates_and_subset(docs):
+    kept = stratified_sample(docs, {"en": 0.3, "zh": 1.0}, "lang",
+                             default=0.5)
+    rows = kept.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    total = {r.lang: r.asDict()["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    assert by_lang["zh"] == {
+        r.doc_id for r in docs.filter("lang = 'zh'").collect()}
+    assert 0.1 < len(by_lang.get("en", ())) / total["en"] < 0.5
+    # deterministic: same call, same survivors
+    again = {r.doc_id for r in stratified_sample(
+        docs, {"en": 0.3, "zh": 1.0}, "lang", default=0.5).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_sampling_plans_are_map_only(docs):
+    """No Exchange: split/sample must fuse into the scan."""
+    for df in (hash_split(docs, WEIGHTS),
+               stratified_sample(docs, {"en": 0.3}, "lang", default=0.5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_threshold_edges(spark):
+    """All-weight-on-one split assigns everything to it; weights are
+    normalized (2:1:1 == 0.5:0.25:0.25)."""
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    only = hash_split(df, {"train": 1.0}).select("split").distinct().collect()
+    assert [r.split for r in only] == ["train"]
+    a = {r.doc_id: r.split
+         for r in hash_split(df, {"a": 2, "b": 1, "c": 1}).collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(df, {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    assert a == b

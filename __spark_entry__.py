@@ -33,6 +33,7 @@ from invertedfiles_jl_spark.operators.search import (
 )
 from invertedfiles_jl_spark.sources.queries import (
     PHRASE_SET,
+    PREFIX_SET,
     QUERY_SET,
     queries_df,
     queries_values_sql,
@@ -367,6 +368,17 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = near_duplicates_minhash(_corpus(spark, sf_dir), threshold=0.5)
     return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/wildcard top-k (operators/search.prefix_topk): vocab-expanded
+    term set, rank by distinct matching terms per doc.  Fixture prefixes
+    mix hot/mid/exact/single-char/OOV (sources/queries PREFIX_SET)."""
+    from invertedfiles_jl_spark.operators.search import prefix_topk
+    from invertedfiles_jl_spark.sources.queries import prefixes_df
+
+    return prefix_topk(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
+                       k=10)
 
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1114,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
+        "prefix_topk": _q_prefix_topk,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "ngram_set_dups": _q_ngram_dups,
@@ -1179,6 +1192,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "dedup_exact": _osql.dedup_exact_sql(),
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
+        "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),

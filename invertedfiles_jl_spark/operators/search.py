@@ -220,3 +220,43 @@ def set_distance_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         .withColumn("dist", set_distance_expr(dist).cast("double"))
     )
     return topk(scored.select("query_id", "doc_id", "dist"), k, "dist", ascending=True, rank_round=rank_round)
+
+
+def expand_prefixes(index: InvertedIndex, prefixes: DataFrame,
+                    prefix_col: str = "prefix") -> DataFrame:
+    """(query_id, term_id) — every vocab term matching each query's prefix.
+
+    One vocab scan per batch: the tiny prefix relation broadcasts into a
+    ``startswith`` theta join (BroadcastNestedLoop over vocab × Q — vocab
+    is orders of magnitude smaller than postings, and at a 10^9-term
+    vocabulary a sorted/bucketed vocab turns the predicate into a
+    ``term >= p AND term < p || MAX_CHAR`` range probe on min/max
+    row-group stats)."""
+    q = prefixes.select("query_id", F.lower(F.col(prefix_col)).alias("prefix"))
+    return index.vocab.select("term", "term_id").join(
+        F.broadcast(q), F.col("term").startswith(F.col("prefix"))
+    ).select("query_id", "term_id")
+
+
+def prefix_topk(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
+                prefix_col: str = "prefix") -> DataFrame:
+    """Prefix/wildcard top-k (Lucene ``PrefixQuery`` analog): rank docs by
+    ``n_terms`` = how many DISTINCT index terms matching the prefix the doc
+    contains (weighting-independent — works on any index), desc; doc_id asc
+    (KnnSorted, integer score).  Expansion feeds the standard matched-
+    postings path: broadcast (query_id, term_id) into the postings join,
+    explode matched lists only, partial+final distinct-count.  An OOV
+    prefix matches no vocab row and yields zero rows (empty-Q contract)."""
+    expanded = expand_prefixes(index, prefixes, prefix_col)
+    id_col = "ids_vb" if "ids_vb" in index.postings.columns else "doc_ids"
+    postings = index.postings.select("term_id", id_col)
+    joined = postings.join(F.broadcast(expanded), "term_id")
+    if id_col == "ids_vb":
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        joined = decompress_postings(joined)
+    m = joined.select("query_id", "term_id",
+                      F.explode("doc_ids").alias("doc_id"))
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("term_id").cast("long").alias("n_terms"))
+    return topk(scored, k, "n_terms", ascending=False)

@@ -146,6 +146,32 @@ WHERE r.rank <= {k}
 """
 
 
+def prefix_topk_sql(prefixes: list[tuple[int, str]], k: int = 10) -> str:
+    """Prefix top-k oracle: distinct (doc, term) pairs from the same token
+    arrays, count distinct matching terms per (prefix query, doc)."""
+    rows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{p}')" for qid, p in prefixes)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_T}) AS term FROM documents
+),
+q(query_id, prefix) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, dt.doc_id,
+         CAST(count(DISTINCT dt.term) AS BIGINT) AS n_terms
+  FROM q JOIN dt ON starts_with(dt.term, q.prefix)
+  GROUP BY q.query_id, dt.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_terms DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
+"""
+
+
 def hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:
     """Mirror of ``sampling.hash_split`` over documents: identical md5
     bucket, identical cumulative thresholds."""

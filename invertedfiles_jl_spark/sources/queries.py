@@ -52,3 +52,19 @@ PHRASE_SET: list[tuple[int, str]] = [
 
 def phrases_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PHRASE_SET, "query_id long, content string")
+
+
+# Fixed prefix-query set (wildcard search).  Mix: a hot two-char prefix, a
+# mid prefix, an exact full term, a single char (widest expansion), and an
+# out-of-vocabulary prefix (must yield zero rows).
+PREFIX_SET: list[tuple[int, str]] = [
+    (1, "sc"),
+    (2, "val"),
+    (3, "window"),
+    (4, "q"),
+    (5, "zzz"),
+]
+
+
+def prefixes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PREFIX_SET, "query_id long, prefix string")

@@ -157,3 +157,30 @@ def test_filtered_bm25_equals_postfiltered_full_ranking(corpus, documents, spark
         want = [(i + 1, d, s) for i, (d, s) in enumerate(kept)]
         have = [(rk, d, round(s, 9)) for rk, d, s in got.get(qid, [])]
         assert have == [(rk, d, round(s, 9)) for rk, d, s in want], f"q{qid}"
+
+
+def test_prefix_topk_vs_python(corpus, texts, spark):
+    """Prefix expansion + distinct-term counting vs naive python over the
+    raw texts; OOV prefix yields nothing; compressed index ranks equal."""
+    from invertedfiles_jl_spark.operators.search import prefix_topk
+    from invertedfiles_jl_spark.sources.queries import PREFIX_SET, prefixes_df
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    big = 10 ** 6
+    got = {}
+    for r in prefix_topk(idx, prefixes_df(spark), k=big).collect():
+        got[(r.query_id, r.doc_id)] = r.n_terms
+    want = {}
+    for qid, p in PREFIX_SET:
+        for did, text in texts.items():
+            n = len({t for t in text.lower().split() if t.startswith(p)})
+            if n > 0:
+                want[(qid, did)] = n
+    assert got == want
+    assert not any(q == 5 for q, _ in got)  # OOV prefix
+    assert any(q == 1 for q, _ in got)
+
+    cidx = build_index(corpus, IndexConfig(weighting="bm25", compress=True))
+    got_c = {(r.query_id, r.doc_id): r.n_terms
+             for r in prefix_topk(cidx, prefixes_df(spark), k=big).collect()}
+    assert got_c == want

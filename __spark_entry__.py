@@ -32,6 +32,7 @@ from invertedfiles_jl_spark.operators.search import (
     set_distance_topk,
 )
 from invertedfiles_jl_spark.sources.queries import (
+    FUZZY_SET,
     PHRASE_SET,
     PREFIX_SET,
     QUERY_SET,
@@ -379,6 +380,17 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_topk(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
                        k=10)
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term top-k (operators/search.fuzzy_topk): edit-distance-1
+    vocab neighborhood per query term, rank by distinct matched terms.
+    Fixture terms mix substitution/deletion typos, an exact term and a
+    far-OOV string (sources/queries FUZZY_SET)."""
+    from invertedfiles_jl_spark.operators.search import fuzzy_topk
+    from invertedfiles_jl_spark.sources.queries import fuzzy_df
+
+    return fuzzy_topk(_index(spark, sf_dir, "bm25"), fuzzy_df(spark), k=10)
 
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1127,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "prefix_topk": _q_prefix_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "ngram_set_dups": _q_ngram_dups,
@@ -1193,6 +1206,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
         "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
+        "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),

@@ -260,3 +260,42 @@ def prefix_topk(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
     scored = m.groupBy("query_id", "doc_id").agg(
         F.countDistinct("term_id").cast("long").alias("n_terms"))
     return topk(scored, k, "n_terms", ascending=False)
+
+
+def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,
+                 term_col: str = "qterm") -> DataFrame:
+    """(query_id, term_id) — every vocab term within ``max_dist`` edit
+    distance of each query term.  Same broadcast theta-join shape as
+    :func:`expand_prefixes`, with a cheap length-difference prefilter
+    (``|len(t) − len(q)| ≤ d`` is a Levenshtein lower bound) so the
+    quadratic Levenshtein only runs on length-compatible pairs."""
+    q = fuzzy.select("query_id", F.lower(F.col(term_col)).alias("qterm"))
+    t, qt = F.col("term"), F.col("qterm")
+    cond = (
+        (F.abs(F.length(t) - F.length(qt)) <= max_dist)
+        & (F.levenshtein(t, qt) <= max_dist)
+    )
+    return index.vocab.select("term", "term_id").join(
+        F.broadcast(q), cond).select("query_id", "term_id")
+
+
+def fuzzy_topk(index: InvertedIndex, fuzzy: DataFrame, k: int = 10,
+               max_dist: int = 1, term_col: str = "qterm") -> DataFrame:
+    """Fuzzy term top-k (Lucene ``FuzzyQuery`` analog): expand each query
+    term to its edit-distance-``max_dist`` vocab neighborhood, then rank
+    docs by ``n_terms`` = distinct matched terms desc, doc_id asc — the
+    same weighting-independent contract as :func:`prefix_topk`.  A query
+    term with no neighborhood yields zero rows (empty-Q contract)."""
+    expanded = expand_fuzzy(index, fuzzy, max_dist, term_col)
+    id_col = "ids_vb" if "ids_vb" in index.postings.columns else "doc_ids"
+    postings = index.postings.select("term_id", id_col)
+    joined = postings.join(F.broadcast(expanded), "term_id")
+    if id_col == "ids_vb":
+        from invertedfiles_jl_spark.operators.codec import decompress_postings
+
+        joined = decompress_postings(joined)
+    m = joined.select("query_id", "term_id",
+                      F.explode("doc_ids").alias("doc_id"))
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("term_id").cast("long").alias("n_terms"))
+    return topk(scored, k, "n_terms", ascending=False)

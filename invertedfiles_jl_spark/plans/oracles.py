@@ -172,6 +172,34 @@ SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
 """
 
 
+def fuzzy_topk_sql(fuzzy: list[tuple[int, str]], k: int = 10,
+                   max_dist: int = 1) -> str:
+    """Fuzzy top-k oracle: DuckDB's classic ``levenshtein`` mirrors
+    Spark's; the length prefilter is only a speedup and does not change
+    the match set."""
+    rows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in fuzzy)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_T}) AS term FROM documents
+),
+q(query_id, qterm) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, dt.doc_id,
+         CAST(count(DISTINCT dt.term) AS BIGINT) AS n_terms
+  FROM q JOIN dt ON levenshtein(dt.term, q.qterm) <= {max_dist}
+  GROUP BY q.query_id, dt.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_terms DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
+"""
+
+
 def hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:
     """Mirror of ``sampling.hash_split`` over documents: identical md5
     bucket, identical cumulative thresholds."""

@@ -68,3 +68,19 @@ PREFIX_SET: list[tuple[int, str]] = [
 
 def prefixes_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PREFIX_SET, "query_id long, prefix string")
+
+
+# Fixed fuzzy-query set (edit-distance term search).  Mix: substitution and
+# deletion typos of vocab terms, an exact term (distance 0 plus its
+# neighborhood), and a far-OOV string (no neighborhood, zero rows).
+FUZZY_SET: list[tuple[int, str]] = [
+    (1, "scen"),     # scan (1 substitution)
+    (2, "colum"),    # column (1 deletion)
+    (3, "merge"),    # exact + 1-distance neighbors
+    (4, "valu"),     # value (1 deletion)
+    (5, "qqqqqq"),   # far OOV
+]
+
+
+def fuzzy_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(FUZZY_SET, "query_id long, qterm string")

@@ -184,3 +184,35 @@ def test_prefix_topk_vs_python(corpus, texts, spark):
     got_c = {(r.query_id, r.doc_id): r.n_terms
              for r in prefix_topk(cidx, prefixes_df(spark), k=big).collect()}
     assert got_c == want
+
+
+def test_fuzzy_topk_vs_python(corpus, texts, spark):
+    """Edit-distance-1 expansion vs naive python Levenshtein; far-OOV
+    yields nothing; exact terms include themselves and neighbors."""
+    from invertedfiles_jl_spark.operators.search import fuzzy_topk
+    from invertedfiles_jl_spark.sources.queries import FUZZY_SET, fuzzy_df
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 3:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    got = {(r.query_id, r.doc_id): r.n_terms
+           for r in fuzzy_topk(idx, fuzzy_df(spark), k=10 ** 6).collect()}
+    want = {}
+    for qid, q in FUZZY_SET:
+        for did, text in texts.items():
+            n = len({t for t in text.lower().split() if lev(t, q) <= 1})
+            if n > 0:
+                want[(qid, did)] = n
+    assert got == want
+    assert not any(q == 5 for q, _ in got)   # far OOV
+    assert any(q == 3 for q, _ in got)        # exact term matches

@@ -149,6 +149,79 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _boolean_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Boolean (must/should/must_not) oracle: BM25 over must+should terms,
+    gated on count(DISTINCT raw must terms) == count(DISTINCT matched must
+    terms) per doc (OOV must ⇒ unsatisfiable), anti-gated on any must_not
+    match.  Mirrors search.boolean_topk."""
+    from invertedfiles_jl_spark.sources.queries import boolean_values_sql
+
+    mtok = _TOK.format(col="must")
+    ntok = _TOK.format(col="must_not")
+    stok = _TOK.format(col="concat(must, ' ', should)")
+    return f"""
+WITH {_BASE_CTES},
+bq AS (SELECT * FROM {boolean_values_sql()}),
+sq AS (
+  SELECT query_id, unnest({stok}) AS term FROM bq
+),
+sqt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM sq GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, sqt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM sqt JOIN vocab ON sqt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+mtokens AS (SELECT query_id, unnest({mtok}) AS term FROM bq),
+nmust AS (
+  SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS n_must
+  FROM mtokens GROUP BY query_id
+),
+musthit AS (
+  SELECT m.query_id, tf.doc_id,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS n_hit
+  FROM (SELECT DISTINCT query_id, term FROM mtokens) m
+  JOIN tf ON tf.term = m.term
+  GROUP BY m.query_id, tf.doc_id
+),
+ntokens AS (SELECT query_id, unnest({ntok}) AS term FROM bq),
+excluded AS (
+  SELECT DISTINCT n.query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM ntokens) n
+  JOIN tf ON tf.term = n.term
+),
+gated AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN nmust USING (query_id)
+  LEFT JOIN musthit mh ON mh.query_id = s.query_id AND mh.doc_id = s.doc_id
+  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
+    AND NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _cosine_sql(k: int = 10) -> str:
     return f"""
 WITH {_BASE_CTES},
@@ -380,6 +453,21 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_topk(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
                        k=10)
+
+
+def _q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean must/should/must_not retrieval (operators/search.boolean_topk)
+    over the BM25 index; fixture mixes conjunctions, exclusions and an OOV
+    must clause (sources/queries BOOLEAN_SET)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import boolean_topk
+    from invertedfiles_jl_spark.sources.queries import boolean_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = boolean_topk(idx, boolean_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
 
 
 def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "boolean_topk": _q_boolean_topk,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "ngram_set_dups": _q_ngram_dups,
@@ -1207,6 +1296,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
         "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
+        "boolean_topk": _boolean_sql(),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),

@@ -143,6 +143,14 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     never enter the pool.
     """
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    scored = _bm25_scored(index, queries, accept_docs)
+    return topk(_tfilter(scored, t), k, "score", ascending=False, rank_round=rank_round)
+
+
+def _bm25_scored(index: InvertedIndex, queries: DataFrame,
+                 accept_docs: DataFrame | None = None) -> DataFrame:
+    """BM25 scoring WITHOUT the top-k: (query_id, doc_id, score, n_matched)
+    — shared by :func:`bm25_topk` and :func:`boolean_topk`."""
     n = float(index.stats["n_docs"])
     qt = query_terms(queries, index.cfg)
     # vocab ⋈ broadcast(qterms) on term_id: attaches df for idf; inner join
@@ -153,11 +161,10 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
     )
     m = _accept(_matched(index, qt), accept_docs)
-    scored = m.groupBy("query_id", "doc_id").agg(
+    return m.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
     )
-    return topk(_tfilter(scored, t), k, "score", ascending=False, rank_round=rank_round)
 
 
 def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
@@ -247,7 +254,18 @@ def prefix_topk(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
     postings path: broadcast (query_id, term_id) into the postings join,
     explode matched lists only, partial+final distinct-count.  An OOV
     prefix matches no vocab row and yields zero rows (empty-Q contract)."""
-    expanded = expand_prefixes(index, prefixes, prefix_col)
+    scored = _distinct_term_matches(index, expand_prefixes(index, prefixes,
+                                                           prefix_col))
+    return topk(scored, k, "n_terms", ascending=False)
+
+
+def _distinct_term_matches(index: InvertedIndex,
+                           expanded: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n_terms) — distinct matched terms per doc for an
+    expanded (query_id, term_id) term set: the shared engine under prefix,
+    fuzzy and boolean must/must_not gating.  Broadcast the expansion into
+    the postings join (fixed-width key, pruned scan), explode matched
+    lists only, partial+final distinct-count."""
     id_col = "ids_vb" if "ids_vb" in index.postings.columns else "doc_ids"
     postings = index.postings.select("term_id", id_col)
     joined = postings.join(F.broadcast(expanded), "term_id")
@@ -257,9 +275,8 @@ def prefix_topk(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
         joined = decompress_postings(joined)
     m = joined.select("query_id", "term_id",
                       F.explode("doc_ids").alias("doc_id"))
-    scored = m.groupBy("query_id", "doc_id").agg(
+    return m.groupBy("query_id", "doc_id").agg(
         F.countDistinct("term_id").cast("long").alias("n_terms"))
-    return topk(scored, k, "n_terms", ascending=False)
 
 
 def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,
@@ -286,16 +303,59 @@ def fuzzy_topk(index: InvertedIndex, fuzzy: DataFrame, k: int = 10,
     docs by ``n_terms`` = distinct matched terms desc, doc_id asc — the
     same weighting-independent contract as :func:`prefix_topk`.  A query
     term with no neighborhood yields zero rows (empty-Q contract)."""
-    expanded = expand_fuzzy(index, fuzzy, max_dist, term_col)
-    id_col = "ids_vb" if "ids_vb" in index.postings.columns else "doc_ids"
-    postings = index.postings.select("term_id", id_col)
-    joined = postings.join(F.broadcast(expanded), "term_id")
-    if id_col == "ids_vb":
-        from invertedfiles_jl_spark.operators.codec import decompress_postings
-
-        joined = decompress_postings(joined)
-    m = joined.select("query_id", "term_id",
-                      F.explode("doc_ids").alias("doc_id"))
-    scored = m.groupBy("query_id", "doc_id").agg(
-        F.countDistinct("term_id").cast("long").alias("n_terms"))
+    scored = _distinct_term_matches(index, expand_fuzzy(index, fuzzy,
+                                                        max_dist, term_col))
     return topk(scored, k, "n_terms", ascending=False)
+
+
+def boolean_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                 rank_round: int | None = None, must_col: str = "must",
+                 should_col: str = "should",
+                 must_not_col: str = "must_not") -> DataFrame:
+    """Boolean retrieval (Lucene ``BooleanQuery`` analog) over the BM25
+    index: a doc qualifies iff it contains EVERY ``must`` term and NO
+    ``must_not`` term; the score is BM25 over the must + should terms it
+    matches.  Empty/null fields relax their clause; a must term that is
+    out-of-vocabulary can never be satisfied, so that query returns zero
+    rows (the conjunctive analogue of the empty-Q contract — ``n_must``
+    counts the RAW distinct query terms, before the vocab join drops OOV).
+
+    Plan shape: the BM25 scoring aggregation (shared with
+    :func:`bm25_topk`), one :func:`_distinct_term_matches` per non-empty
+    clause (must ⇒ equality gate, must_not ⇒ left-anti), every join keyed
+    on (query_id, doc_id) over already-aggregated candidate rows."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+
+    def field(col):
+        return queries.select(
+            "query_id", F.coalesce(F.col(col), F.lit("")).alias("content"))
+
+    scoring = queries.select(
+        "query_id",
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col(must_col), F.lit("")),
+            F.coalesce(F.col(should_col), F.lit("")),
+        ).alias("content"))
+    scored = _bm25_scored(index, scoring).drop("n_matched")
+
+    mq = query_terms(field(must_col), index.cfg)
+    n_must = mq.groupBy("query_id").agg(
+        F.countDistinct("term_id").cast("long").alias("n_must"))
+    must_hit = _distinct_term_matches(
+        index, mq.select("query_id", "term_id").distinct()
+    ).withColumnRenamed("n_terms", "n_must_hit")
+    scored = (
+        scored.join(F.broadcast(n_must), "query_id", "left")
+        .join(must_hit, ["query_id", "doc_id"], "left")
+        .filter(F.coalesce("n_must", F.lit(0)) ==
+                F.coalesce("n_must_hit", F.lit(0)))
+        .select("query_id", "doc_id", "score")
+    )
+
+    nq = query_terms(field(must_not_col), index.cfg)
+    excluded = _distinct_term_matches(
+        index, nq.select("query_id", "term_id").distinct()
+    ).select("query_id", "doc_id")
+    scored = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)

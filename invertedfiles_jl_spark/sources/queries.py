@@ -84,3 +84,28 @@ FUZZY_SET: list[tuple[int, str]] = [
 
 def fuzzy_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(FUZZY_SET, "query_id long, qterm string")
+
+
+# Fixed boolean-query set (must / should / must_not clauses).  Mix: must
+# with should boosters, pure conjunction, should-only with an exclusion,
+# an OOV must (zero rows by contract), and a hot-term exclusion.
+BOOLEAN_SET: list[tuple[int, str, str, str]] = [
+    (1, "scan", "window merge", ""),
+    (2, "scan filter", "", ""),
+    (3, "", "scan window", "merge"),
+    (4, "zzzmissing", "scan", ""),
+    (5, "value", "table", "the"),
+]
+
+
+def boolean_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        BOOLEAN_SET,
+        "query_id long, must string, should string, must_not string")
+
+
+def boolean_values_sql() -> str:
+    rows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{m}', '{s}', '{n}')"
+        for qid, m, s, n in BOOLEAN_SET)
+    return f"(VALUES {rows}) AS bq(query_id, must, should, must_not)"

@@ -216,3 +216,39 @@ def test_fuzzy_topk_vs_python(corpus, texts, spark):
     assert got == want
     assert not any(q == 5 for q, _ in got)   # far OOV
     assert any(q == 3 for q, _ in got)        # exact term matches
+
+
+def test_boolean_topk_semantics(corpus, texts, spark):
+    """must-all gating, must_not exclusion, OOV must => zero rows, and
+    should-only equals plain BM25 on the same text."""
+    from invertedfiles_jl_spark.operators.search import boolean_topk
+    from invertedfiles_jl_spark.sources.queries import boolean_df
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    big = 10 ** 6
+    rows = boolean_topk(idx, boolean_df(spark), k=big).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    toks = {d: set(t.lower().split()) for d, t in texts.items()}
+    # q1: must "scan" — every result contains scan
+    assert by_q[1] and all("scan" in toks[d] for d in by_q[1])
+    # q2: conjunction scan AND filter
+    assert by_q[2] == {d for d, ts in toks.items()
+                       if "scan" in ts and "filter" in ts}
+    # q3: should-only with exclusion — no result contains merge, and the
+    # candidate set is exactly (scan|window) minus merge docs
+    assert by_q[3] == {d for d, ts in toks.items()
+                       if ({"scan", "window"} & ts) and "merge" not in ts}
+    # q4: OOV must is unsatisfiable
+    assert 4 not in by_q
+    # should-only boolean == plain bm25 ranking on the same content
+    bq = spark.createDataFrame([(9, None, "scan window", None)],
+                               "query_id long, must string, should string, must_not string")
+    bres = [(r.rank, r.doc_id, round(r.score, 6)) for r in
+            boolean_topk(idx, bq, k=10, rank_round=6).collect()]
+    pres = [(r.rank, r.doc_id, round(r.score, 6)) for r in
+            bm25_topk(idx, spark.createDataFrame(
+                [(9, "scan window")], "query_id long, content string"),
+                k=10, rank_round=6).collect()]
+    assert bres == pres and len(bres) == 10

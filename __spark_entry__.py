@@ -222,6 +222,47 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _doc_keywords_sql(n: int = 5) -> str:
+    """TF-IDF keyword oracle mirroring functions.text.doc_keywords: same
+    idf formula as BM25, rank on round(tfidf, 6), term asc tie-break."""
+    return f"""
+WITH {_BASE_CTES},
+tfidf AS (
+  SELECT doc_id, term,
+         tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS tfidf
+  FROM tf JOIN vocab USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY round(tfidf, 6) DESC, term ASC) AS INTEGER) AS rank
+  FROM tfidf
+)
+SELECT doc_id, rank, term, round(tfidf, 5) AS tfidf
+FROM ranked WHERE rank <= {n}
+"""
+
+
+def _suggest_terms_sql(prefixes, k: int = 10) -> str:
+    """Autocomplete oracle: vocab terms per prefix by cf desc, term asc."""
+    rows = ", ".join(f"(CAST({qid} AS BIGINT), '{p}')" for qid, p in prefixes)
+    return f"""
+WITH {_BASE_CTES},
+q(query_id, prefix) AS (VALUES {rows}),
+m AS (
+  SELECT q.query_id, v.term, v.cf
+  FROM q JOIN vocab v ON starts_with(v.term, q.prefix)
+),
+ranked AS (
+  SELECT query_id, term, cf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cf DESC, term ASC) AS INTEGER) AS rank
+  FROM m
+)
+SELECT query_id, rank, term, cf FROM ranked WHERE rank <= {k}
+"""
+
+
 def _cosine_sql(k: int = 10) -> str:
     return f"""
 WITH {_BASE_CTES},
@@ -453,6 +494,28 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_topk(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
                        k=10)
+
+
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF keyword extraction (functions/text.doc_keywords):
+    top-5 terms per document, rank-rounded like the search kernels."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.text import doc_keywords
+
+    res = doc_keywords(_corpus(spark, sf_dir), n=5, rank_round=6)
+    return res.select("doc_id", "rank", "term",
+                      F.round("tfidf", 5).alias("tfidf"))
+
+
+def _q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete (operators/search.suggest_terms): top vocab terms per
+    prefix by collection frequency — vocab-only, postings untouched."""
+    from invertedfiles_jl_spark.operators.search import suggest_terms
+    from invertedfiles_jl_spark.sources.queries import prefixes_df
+
+    return suggest_terms(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
+                         k=10)
 
 
 def _q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "boolean_topk": _q_boolean_topk,
+        "doc_keywords": _q_doc_keywords,
+        "suggest_terms": _q_suggest_terms,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "ngram_set_dups": _q_ngram_dups,
@@ -1297,6 +1362,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "boolean_topk": _boolean_sql(),
+        "doc_keywords": _doc_keywords_sql(n=5),
+        "suggest_terms": _suggest_terms_sql(PREFIX_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),

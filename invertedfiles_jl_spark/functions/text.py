@@ -176,3 +176,43 @@ def rolling_fingerprint(df: DataFrame, window: int = 16, mod: int = ROLLING_MOD,
     return res.select(
         "doc_id", F.posexplode("chunk_hashes").alias("chunk_idx", "chunk_hash")
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_hash")
+
+
+def doc_keywords(corpus, cfg=None, n: int = 5, rank_round: int | None = None,
+                 doc_col: str = "doc_id", content_col: str = "content"):
+    """Per-document TF-IDF keyword extraction: the top-``n`` terms per doc
+    by ``tf · ln(1 + (N − df + 0.5)/(df + 0.5))`` (the engine's BM25 idf),
+    tie-break term asc.  The summarization primitive of a curation
+    pipeline (doc tagging, cluster labeling, topic drift monitoring).
+
+    One tf pass (the build's doc-clustered aggregation, zero exploded-token
+    exchange) + one df aggregation; N joins in as a broadcast 1-row agg —
+    no driver action.  ``rank_round`` ranks on round(tfidf, n) for
+    oracle-stable ordering (same contract as search.topk)."""
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+
+    cfg = cfg or IndexConfig()
+    tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(
+                F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)))
+    )
+    key = (F.round(F.col("tfidf"), rank_round)
+           if rank_round is not None else F.col("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(key.desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

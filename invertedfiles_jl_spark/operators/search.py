@@ -359,3 +359,22 @@ def boolean_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     ).select("query_id", "doc_id")
     scored = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
     return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
+def suggest_terms(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
+                  prefix_col: str = "prefix") -> DataFrame:
+    """Autocomplete: top-``k`` vocabulary terms per prefix by collection
+    frequency desc, term asc.  Pure vocab operation — one broadcast
+    ``startswith`` theta join (see :func:`expand_prefixes` for the 10^9-term
+    range-probe note) and a per-prefix WindowGroupLimit; postings are never
+    touched."""
+    q = prefixes.select("query_id", F.lower(F.col(prefix_col)).alias("prefix"))
+    m = index.vocab.select("term", "cf").join(
+        F.broadcast(q), F.col("term").startswith(F.col("prefix")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cf").desc(), F.col("term").asc())
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "cf")
+    )

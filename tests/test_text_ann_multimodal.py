@@ -291,3 +291,59 @@ def test_ivf_farthest_seeding_beats_first_n_on_clustered_data(spark):
     r_first, r_far = recall("first"), recall("farthest")
     assert r_far > r_first, (r_first, r_far)
     assert r_far >= 0.7, r_far
+
+
+def test_doc_keywords_vs_python(documents, docs_pandas, spark):
+    """TF-IDF top-5 per doc vs python recomputation (incl. tie-breaks)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.text import doc_keywords
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    got = {}
+    for r in doc_keywords(corpus, n=5, rank_round=6).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, round(r.tfidf, 5)))
+    texts = dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+    n_docs = float(len(texts))
+    tf, df = {}, {}
+    for d, t in texts.items():
+        toks = t.lower().split()
+        tf[d] = {}
+        for w in toks:
+            tf[d][w] = tf[d].get(w, 0) + 1
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    for d in texts:
+        scored = [
+            (w, c * math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5)))
+            for w, c in tf[d].items()
+        ]
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        want = [(i + 1, w, round(s, 5)) for i, (w, s) in enumerate(scored[:5])]
+        assert sorted(got[d]) == want, d
+
+
+def test_suggest_terms_autocomplete(documents, docs_pandas, spark):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.operators.search import suggest_terms
+    from invertedfiles_jl_spark.sources.queries import prefixes_df
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    got = {}
+    for r in suggest_terms(idx, prefixes_df(spark), k=10).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.term, r.cf))
+    cf = {}
+    for t in docs_pandas["text"]:
+        for w in t.lower().split():
+            cf[w] = cf.get(w, 0) + 1
+    for qid, prefix in [(1, "sc"), (3, "window")]:
+        m = sorted(((w, c) for w, c in cf.items() if w.startswith(prefix)),
+                   key=lambda x: (-x[1], x[0]))[:10]
+        assert sorted(got[qid]) == [(i + 1, w, c) for i, (w, c) in enumerate(m)]
+    assert 5 not in got  # OOV prefix suggests nothing

@@ -129,3 +129,25 @@ def prune_postings(index: InvertedIndex, min_df: int | None = None,
     postings = index.postings.join(keep_terms, "term_id", "left_semi")
     return InvertedIndex(docs=index.docs, vocab=index.vocab, postings=postings,
                          stats=index.stats, cfg=index.cfg)
+
+
+def delete_positional(positional: DataFrame, delete_ids: DataFrame | list,
+                      max_batch: int = MAX_DELETE_BATCH) -> DataFrame:
+    """Positional-table analogue of :func:`delete_documents`.  Positional
+    postings are doc-keyed flat rows (term_id, doc_id, positions), so
+    deletion is a pure map-only FILTER — no list surgery, no metadata
+    recompute (unlike the doc-array postings).  Same driver-bounded batch
+    contract; phrase/proximity/snippet over the result are identical to
+    querying a rebuilt table (pytest-gated)."""
+    if isinstance(delete_ids, DataFrame):
+        ids = sorted({r[0] for r in
+                      delete_ids.select("doc_id").distinct().collect()})
+    else:
+        ids = sorted(set(int(i) for i in delete_ids))
+    if not ids:
+        return positional
+    if len(ids) > max_batch:
+        raise ValueError(
+            f"delete batch of {len(ids)} exceeds max_batch={max_batch}; "
+            "chunk the delete or rebuild")
+    return positional.filter(~F.col("doc_id").isin(ids))

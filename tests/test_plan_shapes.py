@@ -196,3 +196,26 @@ def test_plan_c_binary_set_colocated_single_wide_exchange(spark, documents,
     assert len(on_query) == 1, f"{parts}\n{plan}"
     assert all(p.startswith("hashpartitioning(shard") for p in rest), parts
     shards.unpersist()
+
+
+def test_dictionary_expansion_plans_no_smj(spark, served):
+    """prefix/fuzzy/suggest must stay SortMergeJoin-free: expansion is a
+    broadcast theta join against vocab, scoring joins broadcast the
+    expanded term set; the postings scan stays pruned to term_id + ids."""
+    from invertedfiles_jl_spark.operators.search import (
+        fuzzy_topk,
+        prefix_topk,
+        suggest_terms,
+    )
+    from invertedfiles_jl_spark.sources.queries import fuzzy_df, prefixes_df
+
+    idx, _ = served
+    for df in (prefix_topk(idx, prefixes_df(spark)),
+               fuzzy_topk(idx, fuzzy_df(spark)),
+               suggest_terms(idx, prefixes_df(spark))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+    # the postings scan under prefix must not read weights/metadata
+    fp = formatted_plan(prefix_topk(idx, prefixes_df(spark)))
+    for schema in postings_scan_schemas(fp):
+        assert "weights" not in schema and "block_max" not in schema

@@ -160,3 +160,17 @@ def stream_append(spark: SparkSession, stream_df: DataFrame, index_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_positional(positional, new_corpus, cfg=None,
+                      doc_col: str = "doc_id", content_col: str = "content"):
+    """``push_item!`` for the positional table: positional rows are
+    doc-keyed (each (term, doc) row is fully determined by its own
+    document), so appending documents is a pure UNION of the new docs'
+    rows — no merge, no stats re-centering, byte-equal to a rebuild over
+    the combined corpus (pytest-gated).  Same objID discipline as
+    :func:`append_documents`: each doc arrives whole, once."""
+    from invertedfiles_jl_spark.operators.positional import positional_postings
+
+    delta = positional_postings(new_corpus, cfg, doc_col, content_col)
+    return positional.select(*delta.columns).unionByName(delta)

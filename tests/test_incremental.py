@@ -95,3 +95,22 @@ def test_append_compressed_resalts_correctly(halves, spark):
         parts.sort()
         for (s0, _, hi0), (s1, lo1, _) in zip(parts, parts[1:]):
             assert hi0 < lo1, f"term {t}: salt {s0} range overlaps salt {s1}"
+
+
+def test_append_positional_equals_rebuild(spark, documents):
+    """Appending docs to the positional table == rebuilding it over the
+    combined corpus (rows are doc-keyed; union is exact)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import positional_postings
+    from invertedfiles_jl_spark.streaming.incremental import append_positional
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    old_c = corpus.filter("doc_id % 5 != 0")
+    new_c = corpus.filter("doc_id % 5 = 0")
+    appended = append_positional(positional_postings(old_c), new_c)
+    rebuilt = positional_postings(corpus)
+    cols = ["term_id", "doc_id", "positions", "tf"]
+    a = sorted(map(tuple, appended.select(*cols).collect()))
+    b = sorted(map(tuple, rebuilt.select(*cols).collect()))
+    assert a == b and len(a) > 0

@@ -222,6 +222,64 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _phrase_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for phrase-gated BM25: score = plain BM25 of the phrase's
+    terms; candidates = docs where the phrase occurs consecutively (same
+    start-survival predicate as oracles.phrase_topk_sql)."""
+    rows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in PHRASE_SET)
+    branches = []
+    for qid, text in PHRASE_SET:
+        ws = text.lower().split()
+        m = len(ws)
+        conds = " AND ".join(f"ts[i+{j}] = '{w}'" for j, w in enumerate(ws))
+        branches.append(
+            f"  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM tsx\n"
+            f"  WHERE len(list_filter(range(1, len(ts) - {m} + 2), "
+            f"i -> {conds})) > 0"
+        )
+    gate = "\n  UNION ALL\n".join(branches)
+    tok = _TOK.format(col="content")
+    return f"""
+WITH {_BASE_CTES},
+tsx AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS ts FROM documents
+),
+pq(query_id, content) AS (VALUES {rows}),
+pqtok AS (SELECT query_id, unnest({tok}) AS term FROM pq),
+pqt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM pqtok GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, pqt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM pqt JOIN vocab ON pqt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+gate AS (
+{gate}
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+              ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s JOIN gate g ON g.query_id = s.query_id AND g.doc_id = s.doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _doc_keywords_sql(n: int = 5) -> str:
     """TF-IDF keyword oracle mirroring functions.text.doc_keywords: same
     idf formula as BM25, rank on round(tfidf, 6), term asc tie-break."""
@@ -1217,6 +1275,25 @@ def _q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_span=_PROX_SPAN, vocab=vocab)
 
 
+def _q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked phrase retrieval (positional gate × BM25 postings
+    score, operators/positional.phrase_bm25_topk)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import (
+        phrase_bm25_topk,
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.sources.queries import phrases_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    pos = positional_postings(_corpus(spark, sf_dir))
+    res = phrase_bm25_topk(idx, pos, phrases_df(spark), k=10, rank_round=6,
+                           vocab=idx.vocab)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
 _DELETE_PRED = "doc_id % 7 = 3"  # deterministic ~14% delete fixture
 
 
@@ -1324,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "proximity_topk": _q_proximity_topk,
         "snippet_topk": _q_snippet_topk,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
         "delete_docs_bm25_topk": _q_delete_bm25,
         "delete_docs_postings": _q_delete_postings,
         "pruned_bm25_topk": _q_pruned_bm25,
@@ -1391,6 +1469,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
             PHRASE_SET, max_span=_PROX_SPAN),
         "snippet_topk": _osql.snippet_topk_sql(
             PHRASE_SET, max_span=_PROX_SPAN),
+        "phrase_bm25_topk": _phrase_bm25_sql(),
         "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),
         "delete_docs_postings": f"""
 WITH {_BASE_CTES}

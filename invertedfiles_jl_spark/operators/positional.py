@@ -159,6 +159,16 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
     a stopword-grade slot with a rare one.  Output is identical (a phrase
     match must contain its rarest term; pytest-gated equality).
     """
+    scored = phrase_matches(positional, queries, cfg, vocab)
+    return topk(scored, k, "phrase_tf", ascending=False)
+
+
+def phrase_matches(positional: DataFrame, queries: DataFrame,
+                   cfg: IndexConfig | None = None,
+                   vocab: DataFrame | None = None) -> DataFrame:
+    """The ungated phrase match set: (query_id, doc_id, phrase_tf) for every
+    doc containing each phrase at least once — :func:`phrase_topk` is this
+    plus the bounded top-k; :func:`phrase_bm25_topk` re-ranks it by BM25."""
     pt = phrase_terms(queries, cfg)
     matched = positional.join(
         F.broadcast(pt), "term_id"
@@ -174,7 +184,7 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
         F.countDistinct("offset").alias("n_off"),
         F.collect_list("shifted").alias("arrs"),
     )
-    scored = (
+    return (
         g.filter(F.col("n_off") == F.col("m"))
         .withColumn(
             "phrase_tf",
@@ -186,7 +196,29 @@ def phrase_topk(positional: DataFrame, queries: DataFrame,
         .filter(F.col("phrase_tf") > 0)
         .select("query_id", "doc_id", "phrase_tf")
     )
-    return topk(scored, k, "phrase_tf", ascending=False)
+
+
+def phrase_bm25_topk(index, positional: DataFrame, queries: DataFrame,
+                     cfg: IndexConfig | None = None, k: int = 10,
+                     rank_round: int | None = None,
+                     vocab: DataFrame | None = None) -> DataFrame:
+    """Relevance-ranked phrase retrieval (Lucene ``PhraseQuery`` scoring):
+    candidates must contain the phrase EXACTLY (``phrase_matches``), and
+    are ranked by the BM25 score of the phrase's terms against the
+    weighted index — combining both index structures: the positional
+    table gates, the postings score.
+
+    Per-query gating is an inner join of two (query_id, doc_id)-aggregated
+    candidate sets (both bounded by Σ df of the phrase terms); scores stay
+    full-corpus BM25, the phrase gate only shrinks the pool — the
+    per-query analogue of filtered retrieval (``_accept``)."""
+    from invertedfiles_jl_spark.operators.search import _bm25_scored
+
+    gate = phrase_matches(positional, queries, cfg, vocab)
+    scored = _bm25_scored(index, queries).drop("n_matched")
+    ranked = scored.join(gate.select("query_id", "doc_id"),
+                         ["query_id", "doc_id"])
+    return topk(ranked, k, "score", ascending=False, rank_round=rank_round)
 
 
 def proximity_topk(positional: DataFrame, queries: DataFrame,

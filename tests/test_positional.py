@@ -304,3 +304,23 @@ def test_positional_random_stress(spark):
             if s is not None:
                 want_px[(qid, did)] = s
     assert got_px == want_px and len(got_px) > len(want_ph)
+
+
+def test_phrase_bm25_gate_and_scores(positional, corpus, spark):
+    """phrase_bm25_topk doc set == phrase match set; each score equals the
+    plain BM25 score of the same (query, doc) on the full ranking."""
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.operators.positional import phrase_bm25_topk
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    big = 10 ** 6
+    got = phrase_bm25_topk(idx, positional, phrases_df(spark), k=big,
+                           rank_round=6).collect()
+    gate = {(r.query_id, r.doc_id) for r in
+            phrase_topk(positional, phrases_df(spark), k=big).collect()}
+    assert {(r.query_id, r.doc_id) for r in got} == gate and gate
+    full = {(r.query_id, r.doc_id): r.score for r in
+            bm25_topk(idx, phrases_df(spark), k=big, rank_round=6).collect()}
+    for r in got:
+        assert abs(full[(r.query_id, r.doc_id)] - r.score) < 1e-12

@@ -1275,6 +1275,14 @@ def _q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_span=_PROX_SPAN, vocab=vocab)
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus statistics report (operators/meta.corpus_profile):
+    exact doc-length/df percentiles mirrored by DuckDB quantile_cont."""
+    from invertedfiles_jl_spark.operators.meta import corpus_profile
+
+    return corpus_profile(_corpus(spark, sf_dir))
+
+
 def _q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-ranked phrase retrieval (positional gate × BM25 postings
     score, operators/positional.phrase_bm25_topk)."""
@@ -1402,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": _q_proximity_topk,
         "snippet_topk": _q_snippet_topk,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "corpus_profile": _q_corpus_profile,
         "delete_docs_bm25_topk": _q_delete_bm25,
         "delete_docs_postings": _q_delete_postings,
         "pruned_bm25_topk": _q_pruned_bm25,
@@ -1470,6 +1479,18 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "snippet_topk": _osql.snippet_topk_sql(
             PHRASE_SET, max_span=_PROX_SPAN),
         "phrase_bm25_topk": _phrase_bm25_sql(),
+        "corpus_profile": f"""
+WITH {_BASE_CTES}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+       (SELECT CAST(sum(doc_len) AS BIGINT) FROM dl) AS total_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS distinct_terms,
+       (SELECT round(quantile_cont(doc_len, 0.5), 6) FROM dl) AS doc_len_p50,
+       (SELECT round(quantile_cont(doc_len, 0.9), 6) FROM dl) AS doc_len_p90,
+       (SELECT round(quantile_cont(doc_len, 0.99), 6) FROM dl) AS doc_len_p99,
+       (SELECT CAST(max(doc_len) AS BIGINT) FROM dl) AS doc_len_max,
+       (SELECT round(quantile_cont(df, 0.9), 6) FROM vocab) AS df_p90,
+       (SELECT CAST(max(df) AS BIGINT) FROM vocab) AS df_max
+""",
         "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),
         "delete_docs_postings": f"""
 WITH {_BASE_CTES}

@@ -57,3 +57,46 @@ def search_cost(index: InvertedIndex, queries: DataFrame) -> DataFrame:
         F.countDistinct("term_id").alias("n_lists"),
         F.sum("df_part").alias("n_entries"),
     )
+
+
+def corpus_profile(corpus: DataFrame, cfg=None,
+                   doc_col: str = "doc_id",
+                   content_col: str = "content") -> DataFrame:
+    """One-row corpus statistics report — the profiling step a curation
+    pipeline runs before sizing an index build: document-length
+    percentiles drive ``spark.sql.files.maxPartitionBytes``/salting
+    choices, the df tail identifies hot terms for ``salt_df_threshold``.
+
+    Columns: n_docs, total_tokens, distinct_terms, doc_len p50/p90/p99,
+    doc_len_max, df_p90, df_max.  Uses EXACT ``percentile`` so the DuckDB
+    oracle (``quantile_cont``) reproduces every digit; at 100 TB swap in
+    ``approx_percentile`` (same column shape, documented trade) — exact
+    percentile is a per-metric sort.
+    """
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+
+    cfg = cfg or IndexConfig()
+    tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("total_tokens"),
+        F.expr("percentile(doc_len, array(0.5, 0.9, 0.99))").alias("dp"),
+        F.max("doc_len").cast("long").alias("doc_len_max"),
+    )
+    b = dfs.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_terms"),
+        F.expr("percentile(df, 0.9)").alias("df_p90"),
+        F.max("df").cast("long").alias("df_max"),
+    )
+    return a.crossJoin(b).select(
+        "n_docs", "total_tokens", "distinct_terms",
+        F.round(F.col("dp")[0], 6).alias("doc_len_p50"),
+        F.round(F.col("dp")[1], 6).alias("doc_len_p90"),
+        F.round(F.col("dp")[2], 6).alias("doc_len_p99"),
+        "doc_len_max",
+        F.round("df_p90", 6).alias("df_p90"),
+        "df_max",
+    )

@@ -347,3 +347,28 @@ def test_suggest_terms_autocomplete(documents, docs_pandas, spark):
                    key=lambda x: (-x[1], x[0]))[:10]
         assert sorted(got[qid]) == [(i + 1, w, c) for i, (w, c) in enumerate(m)]
     assert 5 not in got  # OOV prefix suggests nothing
+
+
+def test_corpus_profile_vs_python(documents, docs_pandas, spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.meta import corpus_profile
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    row = corpus_profile(corpus).first()
+    lens = np.array([len(t.lower().split()) for t in docs_pandas["text"]])
+    dfc = {}
+    for t in docs_pandas["text"]:
+        for w in set(t.lower().split()):
+            dfc[w] = dfc.get(w, 0) + 1
+    dfa = np.array(sorted(dfc.values()))
+    assert row.n_docs == len(lens) and row.total_tokens == int(lens.sum())
+    assert row.distinct_terms == len(dfc)
+    # numpy 'linear' interpolation == SQL percentile/quantile_cont
+    for col, q in (("doc_len_p50", 0.5), ("doc_len_p90", 0.9),
+                   ("doc_len_p99", 0.99)):
+        assert abs(getattr(row, col) - round(float(np.quantile(lens, q)), 6)) < 1e-9
+    assert row.doc_len_max == int(lens.max())
+    assert abs(row.df_p90 - round(float(np.quantile(dfa, 0.9)), 6)) < 1e-9
+    assert row.df_max == int(dfa.max())

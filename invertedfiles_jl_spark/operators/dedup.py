@@ -161,8 +161,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     At web scale with adversarial long-chain graphs the alternating
     large-star/small-star transform bounds rounds by log(n); propagation
     is the simpler exact choice for dup graphs."""
+    # materialize the edge list ONCE: every round joins against it, and
+    # without the checkpoint each round would re-execute the upstream
+    # pair-generation pipeline (for near-dup edges that is the whole
+    # MinHash+LSH+verify job)
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
-        .union(edges.select(F.col("doc_b"), F.col("doc_a")))
+        .union(edges.select(F.col("doc_b"), F.col("doc_a"))).localCheckpoint()
     labels = sym.select(F.col("src").alias("doc_id")).distinct() \
         .withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):

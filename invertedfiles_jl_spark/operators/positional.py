@@ -299,6 +299,12 @@ def _chain_ends(positional: DataFrame, queries: DataFrame,
             .select("query_id", "doc_id", "m", "pos",
                     F.col("rb").alias("best"))
         )
+        if max_m > 3:
+            # each stage feeds BOTH the next stage and the completed union,
+            # so an unmaterialized stage subtree re-evaluates ~2^(m-i)
+            # times; for long phrases cut the DAG per stage (trivial for
+            # the common 2-3 token case, where the blowup is at most x2)
+            chains = chains.localCheckpoint()
         completed = completed.unionByName(chains.filter(F.col("m") == i + 1))
     return completed.select("query_id", "doc_id", "pos", "best")
 

@@ -324,3 +324,26 @@ def test_phrase_bm25_gate_and_scores(positional, corpus, spark):
             bm25_topk(idx, phrases_df(spark), k=big, rank_round=6).collect()}
     for r in got:
         assert abs(full[(r.query_id, r.doc_id)] - r.score) < 1e-12
+
+
+def test_proximity_long_phrase_checkpoint_path(spark):
+    """m=5 exercises the per-stage localCheckpoint branch (max_m > 3);
+    results must still equal the naive DP."""
+    docs = [
+        (0, "a b c d e"),            # span 4
+        (1, "a x b x c x d x e"),    # span 8
+        (2, "e d c b a"),            # reverse only -> no chain
+        (3, "a b c d"),              # incomplete
+        (4, "a a b b c c d d e e"),  # many chains, min span 5? compute
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, content string")
+    qdf = spark.createDataFrame([(1, "a b c d e")],
+                                "query_id long, content string")
+    got = {r.doc_id: r.min_span for r in proximity_topk(
+        positional_postings(corpus), qdf, k=100).collect()}
+    want = {}
+    for did, text in docs:
+        s = _naive_min_span(text.split(), "a b c d e".split())
+        if s is not None:
+            want[did] = s
+    assert got == want and 0 in got and 2 not in got

@@ -97,6 +97,27 @@ def main(argv=None):
     bp.add_argument("--doc-col", default="doc_id")
     bp.add_argument("--content-col", default="content")
 
+    sp = sub.add_parser(
+        "split",
+        help="deterministic hash split (train/val/test) — append-stable, "
+             "map-only; writes the input plus a `split` column")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--weights", default="train=0.98,val=0.01,test=0.01",
+                    help="name=weight pairs, comma-separated (normalized)")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--salt", default="split")
+
+    pf = sub.add_parser(
+        "profile",
+        help="one-row corpus statistics report (doc-length/df percentiles) "
+             "— sizes partitioning and salting before a build")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--output", default=None,
+                    help="optional parquet output; prints the row either way")
+    pf.add_argument("--doc-col", default="doc_id")
+    pf.add_argument("--content-col", default="content")
+
     ph = sub.add_parser("phrase", help="phrase / proximity / snippet top-k "
                                        "over a positional table")
     ph.add_argument("--positional", required=True,
@@ -167,6 +188,33 @@ def main(argv=None):
                             content_col=args.content_col).write.mode(
             "overwrite").parquet(args.output)
         print(f"wrote positional postings to {args.output}")
+        return 0
+
+    if args.cmd == "split":
+        from invertedfiles_jl_spark.operators.sampling import hash_split
+
+        weights = {}
+        for part in args.weights.split(","):
+            name, w = part.split("=")
+            weights[name.strip()] = float(w)
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        hash_split(data, weights, id_col=args.id_col, salt=args.salt) \
+            .write.mode("overwrite").parquet(args.output)
+        print(f"wrote split table to {args.output}")
+        return 0
+
+    if args.cmd == "profile":
+        from invertedfiles_jl_spark.operators.meta import corpus_profile
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        prof = corpus_profile(data, doc_col=args.doc_col,
+                              content_col=args.content_col)
+        row = prof.first()
+        print({f: row[f] for f in prof.columns})
+        if args.output:
+            prof.write.mode("overwrite").parquet(args.output)
         return 0
 
     if args.cmd == "phrase":

@@ -250,3 +250,25 @@ def test_cli_proximity_and_snippet_modes(spark, corpus_path, tmp_path):
     want2 = sorted(map(tuple, snippet_topk(
         pos, phrases_df(spark), corpus, k=10, max_span=8).collect()))
     assert got2 == want2 and len(got2) > 0
+
+
+def test_cli_split_and_profile(spark, corpus_path, tmp_path):
+    from invertedfiles_jl_spark.operators.meta import corpus_profile
+    from invertedfiles_jl_spark.operators.sampling import hash_split
+
+    out = str(tmp_path / "split_res")
+    assert submit_main.main(["split", "--input", corpus_path,
+                             "--weights", "train=0.8,val=0.2",
+                             "--output", out]) == 0
+    corpus = spark.read.parquet(corpus_path)
+    got = {r.doc_id: r.split for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: r.split for r in hash_split(
+        corpus, {"train": 0.8, "val": 0.2}).collect()}
+    assert got == want and set(got.values()) == {"train", "val"}
+
+    pout = str(tmp_path / "profile_res")
+    assert submit_main.main(["profile", "--input", corpus_path,
+                             "--output", pout]) == 0
+    got_row = spark.read.parquet(pout).first()
+    want_row = corpus_profile(corpus).first()
+    assert got_row == want_row

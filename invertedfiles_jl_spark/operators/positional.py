@@ -251,7 +251,10 @@ def proximity_topk(positional: DataFrame, queries: DataFrame,
     only matched rows move).  The RANGE −1 frame enforces strict position
     increase, which makes duplicate-term queries ("scan scan") require two
     distinct occurrences.  ``vocab`` enables the same rarest-slot candidate
-    prune as :func:`phrase_topk`.  The one driver-side action is
+    prune as :func:`phrase_topk` — measured at sf0.1 it HELPS phrase (whose
+    agg collects arrays) but COSTS here (DP rows are 5 ints; the candidate
+    join exceeds the saving), so enable it only when a phrase mixes a
+    stopword-grade slot with a rare one.  The one driver-side action is
     ``max(m)`` over the QUERY batch (tiny by contract, same as the sharded
     plan's query collect).
     """

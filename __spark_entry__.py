@@ -105,14 +105,16 @@ qt AS (
 
 
 def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, t: int = 1,
-              accept_where: str = "", term_where: str = "") -> str:
+              accept_where: str = "", term_where: str = "",
+              offset: int = 0) -> str:
     """``accept_where`` — optional SQL predicate over ``documents`` rows;
     when set, mirrors filtered retrieval (search._accept): idf/avgdl/N stay
     full-corpus, non-accepted docs are dropped pre-aggregation.
     ``term_where`` — optional SQL predicate over ``vocab`` rows; when set,
     mirrors posting-list pruning (maintenance.prune_postings): pruned terms
     never match, while idf and every surviving score stay frozen at their
-    full-corpus values."""
+    full-corpus values.
+    ``offset`` — pagination: ranks (offset, offset + k] (search.topk)."""
     having = f"HAVING count(*) >= {t}" if t > 1 else ""
     clauses = []
     if accept_where:
@@ -145,7 +147,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, doc_id, round(score, 5) AS score
-FROM ranked WHERE rank <= {k}
+FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
 """
 
 
@@ -1346,6 +1348,151 @@ def _q_pruned_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
+# ---------------------------------------------------------------------------
+# pagination / facets / more-like-this / contamination
+# ---------------------------------------------------------------------------
+
+_MLT_PRED = "doc_id % 29 = 0"       # deterministic more-like-this source set
+_BENCH_PRED = "doc_id % 23 = 0"     # deterministic benchmark (eval) slice
+
+
+def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 (ranks 11..20) of the BM25 ranking — search_after pagination:
+    same window, same tie-break, globally consistent ranks across pages."""
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6, offset=10)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: top lang facets over each query's FULL matched
+    candidate set (docs containing >= 1 query term)."""
+    from invertedfiles_jl_spark.operators.search import facet_counts
+
+    idx = _index(spark, sf_dir, "bm25")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return facet_counts(idx, queries_df(spark), docs, facet_col="lang", k=5)
+
+
+def _facet_counts_sql(k: int = 5) -> str:
+    return f"""
+WITH {_BASE_CTES},
+cand AS (
+  SELECT DISTINCT query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM qt) q
+  JOIN tf ON q.term = tf.term
+),
+counts AS (
+  SELECT query_id, lang AS facet, CAST(count(*) AS BIGINT) AS n_docs
+  FROM cand JOIN documents ON cand.doc_id = documents.doc_id
+  GROUP BY query_id, lang
+),
+ranked AS (
+  SELECT query_id, facet, n_docs,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_docs DESC, facet ASC) AS INTEGER) AS facet_rank
+  FROM counts
+)
+SELECT query_id, facet_rank, facet, n_docs
+FROM ranked WHERE facet_rank <= {k}
+"""
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: each source doc's top-4 tf-idf terms (qtf=1 each)
+    BM25-rank the rest of the corpus; source excluded."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import more_like_this
+
+    idx = _index(spark, sf_dir, "bm25")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .filter(_MLT_PRED).select("doc_id"))
+    res = more_like_this(idx, _corpus(spark, sf_dir), src, k=5, n_terms=4,
+                         rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _mlt_sql(k: int = 5, n_terms: int = 4, k1: float = 1.2,
+             b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_more_like_this` — term selection ranks
+    round(tf*idf, 6) desc / term asc (search.doc_term_profile); scoring is
+    plain BM25 with qtf = 1 over the chosen terms, self excluded."""
+    return f"""
+WITH {_BASE_CTES},
+prof AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY round(tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) DESC,
+                       tf.term ASC) AS INTEGER) AS trank
+  FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN stats
+  WHERE tf.doc_id % 29 = 0
+),
+qterm AS (SELECT query_id, term, idf FROM prof WHERE trank <= {n_terms}),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term AND tf.doc_id != qterm.query_id
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per train doc, the fraction of its
+    distinct 3-gram shingles appearing anywhere in the benchmark slice."""
+    from invertedfiles_jl_spark.operators.dedup import benchmark_contamination
+
+    corpus = _corpus(spark, sf_dir)
+    return benchmark_contamination(
+        corpus.filter(f"NOT ({_BENCH_PRED})"),
+        corpus.filter(_BENCH_PRED),
+    )
+
+
+def _contamination_sql(n: int = 3) -> str:
+    from invertedfiles_jl_spark.operators.dedup import duckdb_shingles_sql
+
+    sh = duckdb_shingles_sql("text", IndexConfig(), n)
+    return f"""
+WITH dsh AS (
+  SELECT DISTINCT doc_id, unnest({sh}) AS shingle
+  FROM documents WHERE NOT ({_BENCH_PRED})
+),
+bsh AS (
+  SELECT DISTINCT unnest({sh}) AS shingle
+  FROM documents WHERE {_BENCH_PRED}
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bsh))
+              AS BIGINT) AS n_hit
+  FROM dsh GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS rate
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -1414,6 +1561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_docs_bm25_topk": _q_delete_bm25,
         "delete_docs_postings": _q_delete_postings,
         "pruned_bm25_topk": _q_pruned_bm25,
+        "bm25_page2": _q_bm25_page2,
+        "facet_counts_lang": _q_facet_counts,
+        "more_like_this": _q_more_like_this,
+        "benchmark_contamination": _q_contamination,
     }
 
 
@@ -1498,6 +1649,10 @@ SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
 """,
         "pruned_bm25_topk": _bm25_sql(
             term_where="df <= CAST(floor(0.78 * (SELECT count(*) FROM documents)) AS BIGINT)"),
+        "bm25_page2": _bm25_sql(offset=10),
+        "facet_counts_lang": _facet_counts_sql(),
+        "more_like_this": _mlt_sql(),
+        "benchmark_contamination": _contamination_sql(),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -277,3 +277,51 @@ def simhash(df: DataFrame, cfg: IndexConfig | None = None, bits: int = SIMHASH_B
     return sums.select(
         "doc_id", F.expr(simhash_combine_sql(bits)).cast("long").alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
+                            cfg: IndexConfig | None = None, n: int = 3,
+                            rate_round: int = 6,
+                            doc_col: str = "doc_id",
+                            content_col: str = "content",
+                            broadcast_benchmark: bool = True) -> DataFrame:
+    """Training-data contamination check: per corpus doc, the fraction of
+    its distinct ``n``-gram shingles that appear anywhere in a benchmark
+    (eval-set) document.
+
+    Returns (doc_id, n_shingles, n_hit, rate) with
+    rate = round(n_hit / n_shingles, ``rate_round``).  A doc whose every
+    shingle occurs in the benchmark (rate 1.0) is a leak; the standard
+    pipeline policy filters on a rate threshold before training.
+
+    Plan shape: the benchmark shingle set is DISTINCT'd then (by default)
+    broadcast — eval benchmarks are KBs-to-MBs against a 100-TB corpus, so
+    the contamination probe is a map-side left-semi join: one corpus scan,
+    shingling in codegen, no corpus-side shuffle beyond the per-doc count
+    agg (partial+final, keyed on doc_id which is already the scan order).
+    Pass ``broadcast_benchmark=False`` for an unusually large benchmark and
+    AQE plans the join from runtime sizes instead."""
+    cfg = cfg or IndexConfig()
+    d = doc_shingles(corpus, cfg, n, doc_col, content_col)
+    b = doc_shingles(benchmark, cfg, n, doc_col, content_col) \
+        .select("shingle").distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hits = d.join(b, "shingle", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    totals = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"),
+            rate_round,
+        ).alias("rate"),
+    )

@@ -103,22 +103,30 @@ def _accept(m: DataFrame, accept_docs: DataFrame | None) -> DataFrame:
 
 
 def topk(scored: DataFrame, k: int, score_col: str = "score",
-         ascending: bool = False, rank_round: int | None = None) -> DataFrame:
+         ascending: bool = False, rank_round: int | None = None,
+         offset: int = 0) -> DataFrame:
     """Deterministic per-query top-k: (score, doc_id asc) tie-break —
     the ``KnnSorted`` rank-identity contract.
 
     ``rank_round`` ranks on ``round(score, n)`` instead of the raw score —
     used by oracle-compared queries so that sub-ULP summation-order
     differences between engines cannot flip a rank.
+
+    ``offset`` — pagination (``search_after`` analog): emit ranks
+    (offset, offset + k].  The ``rank <= offset + k`` conjunct still
+    drives Spark's WindowGroupLimit pushdown, so page N costs one
+    bounded heap of depth offset + k per query — never a full sort —
+    and ranks stay globally consistent across pages (same window, same
+    tie-break) rather than re-ranking per page.
     """
     key = F.round(F.col(score_col), rank_round) if rank_round is not None else F.col(score_col)
     order = [key.asc() if ascending else key.desc(), F.col("doc_id").asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", score_col)
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= offset + k)
+    if offset:
+        out = out.filter(F.col("rank") > offset)
+    return out.select("query_id", "rank", "doc_id", score_col)
 
 
 def _tfilter(scored: DataFrame, t: int) -> DataFrame:
@@ -132,7 +140,8 @@ def _tfilter(scored: DataFrame, t: int) -> DataFrame:
 
 def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
               rank_round: int | None = None, t: int = 1,
-              accept_docs: DataFrame | None = None) -> DataFrame:
+              accept_docs: DataFrame | None = None,
+              offset: int = 0) -> DataFrame:
     """BM25 top-k.  Stored weight is the saturated length-normalized tf
     (build-time fold); idf joins in from vocab at query time.
 
@@ -141,10 +150,12 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     ``accept_docs`` — optional (doc_id) accept set for filtered retrieval
     (see :func:`_accept`): scores keep full-corpus stats, non-accepted docs
     never enter the pool.
+    ``offset`` — pagination: ranks (offset, offset + k] (see :func:`topk`).
     """
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
     scored = _bm25_scored(index, queries, accept_docs)
-    return topk(_tfilter(scored, t), k, "score", ascending=False, rank_round=rank_round)
+    return topk(_tfilter(scored, t), k, "score", ascending=False,
+                rank_round=rank_round, offset=offset)
 
 
 def _bm25_scored(index: InvertedIndex, queries: DataFrame,
@@ -358,6 +369,103 @@ def boolean_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         index, nq.select("query_id", "term_id").distinct()
     ).select("query_id", "doc_id")
     scored = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
+def facet_counts(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
+                 facet_col: str = "lang", k: int = 10) -> DataFrame:
+    """Faceted search (Elasticsearch ``terms`` aggregation analog): for each
+    query, the top-``k`` values of a document metadata column among ALL
+    matched candidate docs (any doc containing ≥ 1 query term — facets
+    describe the full hit set, not just the scored top-k page).
+
+    Returns (query_id, facet_rank, facet, n_docs), ranked n_docs desc /
+    facet asc (deterministic).  Weighting-independent — works on any index.
+
+    Plan shape: broadcast distinct query terms into the postings join (the
+    standard :func:`_matched` probe), distinct (query, doc) candidates
+    (partial+final agg bounded by Σ df of the query's terms), then a join
+    against the metadata relation on doc_id (AQE picks broadcast vs shuffle
+    from the candidate side's runtime size — a hot query's candidate set in
+    a 10^12-doc corpus is NOT broadcastable, so no hint) and one more
+    partial+final count per (query, facet value).  The facet cardinality
+    per query is bounded by the facet column's distinct values, so the
+    final window is tiny."""
+    qt = query_terms(queries, index.cfg).select(
+        "query_id", "term_id").distinct()
+    cand = _matched(index, qt).select("query_id", "doc_id").distinct()
+    m = cand.join(meta.select("doc_id", F.col(facet_col).alias("facet")),
+                  "doc_id")
+    counts = m.groupBy("query_id", "facet").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_docs").desc(), F.col("facet").asc())
+    return (
+        counts.withColumn("facet_rank", F.row_number().over(w))
+        .filter(F.col("facet_rank") <= k)
+        .select("query_id", "facet_rank", "facet", "n_docs")
+    )
+
+
+def doc_term_profile(index: InvertedIndex, corpus: DataFrame,
+                     source_ids: DataFrame, n_terms: int = 5,
+                     sel_round: int = 6,
+                     content_col: str = "content") -> DataFrame:
+    """The top-``n_terms`` tf·idf terms of each source document —
+    more-like-this query extraction (Lucene ``MoreLikeThis`` analog).
+
+    Returns (query_id = source doc_id, term_id, idf).  Term selection ranks
+    raw tf × idf desc (rounded to ``sel_round`` so both engines agree at
+    summation boundaries), term asc — fully deterministic.
+
+    Plan shape: the source set left-semi-joins the corpus (a tiny slice of
+    a huge table — predicate-pushdown-friendly), tokenize + tf is the
+    standard codegen path over source docs ONLY, idf joins in from vocab on
+    term_id, and the per-doc term window is bounded by the source doc's
+    distinct-term count."""
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
+    n = float(index.stats["n_docs"])
+    src = corpus.join(source_ids.select("doc_id"), "doc_id", "left_semi")
+    t = exploded_terms(src, "query_id", "doc_id", content_col, index.cfg)
+    tf = t.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("term_id", term_id_col(F.col("term")))
+    prof = index.vocab.select("term_id", "df").join(tf, "term_id").select(
+        "query_id", "term_id", "term", "tf",
+        F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("tf") * F.col("idf"), sel_round).desc(),
+        F.col("term").asc())
+    return (
+        prof.withColumn("trank", F.row_number().over(w))
+        .filter(F.col("trank") <= n_terms)
+        .select("query_id", "term_id", "idf")
+    )
+
+
+def more_like_this(index: InvertedIndex, corpus: DataFrame,
+                   source_ids: DataFrame, k: int = 10, n_terms: int = 5,
+                   rank_round: int | None = None,
+                   content_col: str = "content") -> DataFrame:
+    """More-like-this retrieval: for each source doc, BM25-rank the corpus
+    by the source's top-``n_terms`` tf·idf terms (each with query weight 1)
+    and return the top-``k`` OTHER docs (the source itself is excluded).
+
+    Returns (query_id = source doc_id, rank, doc_id, score).  Downstream of
+    the profile extraction this is exactly the Plan A shape: broadcast the
+    (query, term) profile into the postings join, partial+final sum, one
+    bounded top-k window."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    prof = doc_term_profile(index, corpus, source_ids, n_terms,
+                            content_col=content_col)
+    m = _matched(index, prof)
+    scored = (
+        m.filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * F.col("weight")).alias("score"))
+    )
     return topk(scored, k, "score", ascending=False, rank_round=rank_round)
 
 

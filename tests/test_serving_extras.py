@@ -1,0 +1,189 @@
+"""Pagination, faceted counts, more-like-this, and benchmark contamination
+— each checked against a pure-python recomputation from the raw texts."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import build_index
+from invertedfiles_jl_spark.operators.dedup import benchmark_contamination
+from invertedfiles_jl_spark.operators.search import (
+    bm25_topk,
+    facet_counts,
+    more_like_this,
+)
+from invertedfiles_jl_spark.sources.queries import QUERY_SET, queries_df
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def texts(docs_pandas):
+    return dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    from pyspark.sql import functions as F
+
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+@pytest.fixture(scope="module")
+def bm25_index(corpus):
+    return build_index(corpus, IndexConfig(weighting="bm25",
+                                           weight_dtype="double"))
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# pagination
+# ---------------------------------------------------------------------------
+
+
+def test_pagination_is_a_slice_of_the_full_ranking(bm25_index, spark):
+    """Page 2 must be EXACTLY ranks 11..20 of the single-window ranking —
+    same scores, same global rank numbers (search_after consistency)."""
+    q = queries_df(spark)
+    full = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(bm25_index, q, k=20, rank_round=6).collect()}
+    page2 = bm25_topk(bm25_index, q, k=10, rank_round=6, offset=10).collect()
+    assert page2, "fixture must have queries with > 10 hits"
+    for r in page2:
+        assert 10 < r["rank"] <= 20
+        assert full[(r["query_id"], r["rank"])] == (
+            r["doc_id"], round(r["score"], 9))
+    # no page-2 row may duplicate a page-1 doc
+    page1_docs = {(q_, d) for (q_, rk), (d, _) in full.items() if rk <= 10}
+    assert all((r["query_id"], r["doc_id"]) not in page1_docs for r in page2)
+
+
+def test_pagination_offset_zero_is_identity(bm25_index, spark):
+    q = queries_df(spark)
+    a = _rows(bm25_topk(bm25_index, q, k=5, rank_round=6))
+    b = _rows(bm25_topk(bm25_index, q, k=5, rank_round=6, offset=0))
+    assert sorted(a) == sorted(b)
+
+
+# ---------------------------------------------------------------------------
+# facets
+# ---------------------------------------------------------------------------
+
+
+def test_facet_counts_match_python(bm25_index, documents, texts, spark):
+    meta = {r["doc_id"]: r["lang"] for r in
+            documents.select("doc_id", "lang").collect()}
+    got = {}
+    for r in facet_counts(bm25_index, queries_df(spark), documents,
+                          facet_col="lang", k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["facet_rank"], r["facet"], r["n_docs"]))
+    for qid, qtext in QUERY_SET:
+        qterms = set(oracle.tokenize_ws(qtext))
+        cand = {d for d, t in texts.items()
+                if qterms & set(oracle.tokenize_ws(t))}
+        counts = Counter(meta[d] for d in cand)
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want = [(i + 1, f, c) for i, (f, c) in enumerate(want)]
+        assert sorted(got.get(qid, [])) == want, f"query {qid}"
+
+
+# ---------------------------------------------------------------------------
+# more-like-this
+# ---------------------------------------------------------------------------
+
+
+def _mlt_oracle(texts, src_ids, n_terms, k, k1=1.2, b=0.75):
+    tfs, df, n, avgdl = oracle.build_corpus_stats(texts)
+    out = {}
+    for s in src_ids:
+        prof = []
+        for term, tf in tfs[s].items():
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            prof.append((-round(tf * idf, 6), term, idf))
+        prof.sort()
+        chosen = [(term, idf) for _, term, idf in prof[:n_terms]]
+        scores = {}
+        for d, c in tfs.items():
+            if d == s:
+                continue
+            dl = sum(c.values())
+            sc = 0.0
+            hit = False
+            for term, idf in chosen:
+                tf = c.get(term, 0)
+                if tf == 0:
+                    continue
+                hit = True
+                sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                sc += idf * sat
+            if hit:
+                scores[d] = sc
+        out[s] = [(i + 1, d, round(sc, 5)) for i, (d, sc) in
+                  enumerate(sorted(scores.items(),
+                                   key=lambda kv: (-round(kv[1], 6), kv[0]))[:k])]
+    return out
+
+
+def test_more_like_this_matches_python(bm25_index, corpus, texts, spark):
+    src_ids = sorted(texts)[:7]
+    src = spark.createDataFrame([(d,) for d in src_ids], "doc_id long")
+    got = {}
+    for r in more_like_this(bm25_index, corpus, src, k=5, n_terms=4,
+                            rank_round=6).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 5)))
+    want = _mlt_oracle(texts, src_ids, n_terms=4, k=5)
+    for s in src_ids:
+        assert sorted(got.get(s, [])) == want[s], f"source {s}"
+
+
+def test_more_like_this_excludes_source(bm25_index, corpus, texts, spark):
+    src_ids = sorted(texts)[:20]
+    src = spark.createDataFrame([(d,) for d in src_ids], "doc_id long")
+    for r in more_like_this(bm25_index, corpus, src, k=10,
+                            rank_round=6).collect():
+        assert r["doc_id"] != r["query_id"]
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text, n=3):
+    toks = oracle.tokenize_ws(text)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_matches_python(corpus, texts, spark):
+    bench_ids = {d for d in texts if d % 7 == 0}
+    bench_sh = set().union(*(_shingles(texts[d]) for d in bench_ids)) \
+        if bench_ids else set()
+    train = corpus.filter("doc_id % 7 != 0")
+    bench = corpus.filter("doc_id % 7 = 0")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["rate"])
+           for r in benchmark_contamination(train, bench).collect()}
+    for d, t in texts.items():
+        if d in bench_ids:
+            assert d not in got
+            continue
+        sh = _shingles(t)
+        hit = len(sh & bench_sh)
+        assert got[d] == (len(sh), hit, round(hit / len(sh), 6)), f"doc {d}"
+
+
+def test_contamination_self_is_total(corpus, spark):
+    """A doc checked against a benchmark containing itself is 100% hit."""
+    sub = corpus.limit(5)
+    for r in benchmark_contamination(sub, sub).collect():
+        assert r["n_hit"] == r["n_shingles"] and r["rate"] == 1.0

@@ -418,15 +418,19 @@ def doc_term_profile(index: InvertedIndex, corpus: DataFrame,
     raw tf × idf desc (rounded to ``sel_round`` so both engines agree at
     summation boundaries), term asc — fully deterministic.
 
-    Plan shape: the source set left-semi-joins the corpus (a tiny slice of
-    a huge table — predicate-pushdown-friendly), tokenize + tf is the
-    standard codegen path over source docs ONLY, idf joins in from vocab on
-    term_id, and the per-doc term window is bounded by the source doc's
-    distinct-term count."""
+    Plan shape: the source-id set is the query batch — small by the same
+    contract as every query-side broadcast in this engine — so it
+    broadcast-left-semi-joins the corpus (one map-side pass, no corpus
+    shuffle; without the hint Catalyst sort-merge-joins because a local
+    relation carries no size stats), tokenize + tf is the standard codegen
+    path over source docs ONLY, idf joins in from vocab on term_id, and
+    the per-doc term window is bounded by the source doc's distinct-term
+    count."""
     from invertedfiles_jl_spark.functions.tokenize import exploded_terms
 
     n = float(index.stats["n_docs"])
-    src = corpus.join(source_ids.select("doc_id"), "doc_id", "left_semi")
+    src = corpus.join(F.broadcast(source_ids.select("doc_id")),
+                      "doc_id", "left_semi")
     t = exploded_terms(src, "query_id", "doc_id", content_col, index.cfg)
     tf = t.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("term_id", term_id_col(F.col("term")))

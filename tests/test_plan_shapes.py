@@ -219,3 +219,35 @@ def test_dictionary_expansion_plans_no_smj(spark, served):
     fp = formatted_plan(prefix_topk(idx, prefixes_df(spark)))
     for schema in postings_scan_schemas(fp):
         assert "weights" not in schema and "block_max" not in schema
+
+
+def test_pagination_keeps_window_group_limit(spark, served):
+    """offset pagination must not defeat the WindowGroupLimit pushdown —
+    the rank <= offset+k conjunct still bounds the per-query heap."""
+    idx, _ = served
+    plan = formatted_plan(bm25_topk(idx, queries_df(spark), k=10, offset=10))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_facet_mlt_contamination_plans_no_smj(spark, served, documents):
+    """facets / more-like-this / contamination must stay SortMergeJoin-free
+    at query-batch scale: the query term set, MLT source-id set and
+    benchmark shingle set all broadcast."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.dedup import benchmark_contamination
+    from invertedfiles_jl_spark.operators.search import facet_counts, more_like_this
+
+    idx, _ = served
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    src = spark.createDataFrame([(0,), (29,)], "doc_id long")
+    plans = [
+        facet_counts(idx, queries_df(spark), documents),
+        more_like_this(idx, corpus, src),
+        benchmark_contamination(corpus.filter("doc_id % 23 != 0"),
+                                corpus.filter("doc_id % 23 = 0")),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan

@@ -1493,6 +1493,76 @@ FROM agg
 """
 
 
+def _q_suggest_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: per query term, closest vocab terms (edit distance
+    asc, collection frequency desc) within 2 edits."""
+    from invertedfiles_jl_spark.operators.search import suggest_corrections
+    from invertedfiles_jl_spark.sources.queries import fuzzy_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    return suggest_corrections(idx, fuzzy_df(spark), k=3, max_dist=2)
+
+
+def _suggest_corrections_sql(k: int = 3, max_dist: int = 2) -> str:
+    rows = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in FUZZY_SET)
+    return f"""
+WITH {_BASE_CTES},
+fq AS (SELECT * FROM (VALUES {rows}) AS fq(query_id, qterm)),
+m AS (
+  SELECT query_id, term, cf,
+         CAST(levenshtein(term, lower(qterm)) AS INTEGER) AS dist
+  FROM vocab CROSS JOIN fq
+  WHERE abs(length(term) - length(lower(qterm))) <= {max_dist}
+    AND levenshtein(term, lower(qterm)) <= {max_dist}
+),
+ranked AS (
+  SELECT query_id, term, dist, cf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, cf DESC, term ASC) AS INTEGER) AS rank
+  FROM m
+)
+SELECT query_id, rank, term, dist, cf
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top term pairs by document-level PMI."""
+    from invertedfiles_jl_spark.operators.meta import term_cooccurrence
+
+    return term_cooccurrence(_corpus(spark, sf_dir), k=20, min_pair_df=2)
+
+
+def _term_cooccurrence_sql(k: int = 20, min_pair_df: int = 2) -> str:
+    return f"""
+WITH {_BASE_CTES},
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS pair_df
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {min_pair_df}
+),
+scored AS (
+  SELECT term_a, term_b, pair_df,
+         ln(n_docs * pair_df / (da.df * db.df)) AS pmi
+  FROM pairs
+  JOIN vocab da ON term_a = da.term
+  JOIN vocab db ON term_b = db.term
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT term_a, term_b, pair_df, pmi,
+         CAST(row_number() OVER (
+              ORDER BY round(pmi, 6) DESC, term_a ASC, term_b ASC)
+              AS INTEGER) AS pair_rank
+  FROM scored
+)
+SELECT pair_rank, term_a, term_b, pair_df, round(pmi, 6) AS pmi
+FROM ranked WHERE pair_rank <= {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -1565,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_lang": _q_facet_counts,
         "more_like_this": _q_more_like_this,
         "benchmark_contamination": _q_contamination,
+        "suggest_corrections": _q_suggest_corrections,
+        "term_cooccurrence": _q_term_cooccurrence,
     }
 
 
@@ -1653,6 +1725,8 @@ SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
         "facet_counts_lang": _facet_counts_sql(),
         "more_like_this": _mlt_sql(),
         "benchmark_contamination": _contamination_sql(),
+        "suggest_corrections": _suggest_corrections_sql(),
+        "term_cooccurrence": _term_cooccurrence_sql(),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -100,3 +100,69 @@ def corpus_profile(corpus: DataFrame, cfg=None,
         F.round("df_p90", 6).alias("df_p90"),
         "df_max",
     )
+
+
+def term_cooccurrence(corpus: DataFrame, cfg=None, k: int = 20,
+                      min_pair_df: int = 2, max_doc_terms: int | None = None,
+                      pmi_round: int = 6,
+                      doc_col: str = "doc_id",
+                      content_col: str = "content") -> DataFrame:
+    """Top-``k`` co-occurring term pairs by pointwise mutual information —
+    the collocation-mining step of corpus analytics (phrase candidates,
+    tokenizer-merge candidates, embedding eval pairs).
+
+    PMI(a, b) = ln(n_docs · pair_df / (df_a · df_b)) over DOCUMENT
+    co-occurrence (distinct presence, not positions).  Returns
+    (pair_rank, term_a, term_b, pair_df, pmi) with term_a < term_b,
+    ranked round(pmi, ``pmi_round``) desc / pair asc; pairs seen in fewer
+    than ``min_pair_df`` docs are dropped (PMI is noise at df 1).
+
+    Scale: the pair generation is a per-doc self-join — Σ nnz² work.  For
+    code/text corpora nnz is bounded (hundreds), so the blow-up is linear
+    in docs; for pathological docs pass ``max_doc_terms`` to keep only
+    each doc's top-m terms by tf (tie term asc) before pairing — the
+    documented escape, same role as allknn's df_cap.  Everything else is
+    partial+final aggregation; the df join is against the tiny distinct-
+    term relation and the final global window ranks only surviving pairs.
+    """
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import doc_term_freqs
+    from pyspark.sql import Window
+
+    cfg = cfg or IndexConfig()
+    tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
+    if max_doc_terms is not None:
+        wd = Window.partitionBy("doc_id").orderBy(
+            F.col("tf").desc(), F.col("term").asc())
+        tf = (tf.withColumn("r", F.row_number().over(wd))
+              .filter(F.col("r") <= max_doc_terms).drop("r"))
+    terms = tf.select("doc_id", "term")
+    n_docs = float(corpus.select(doc_col).distinct().count())
+    dfs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = terms.alias("a").join(
+        terms.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.term") < F.col("b.term")),
+    ).select(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+    pdf = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("pair_df")).filter(
+        F.col("pair_df") >= min_pair_df)
+    scored = (
+        pdf.join(dfs.withColumnRenamed("term", "term_a")
+                    .withColumnRenamed("df", "df_a"), "term_a")
+        .join(dfs.withColumnRenamed("term", "term_b")
+                 .withColumnRenamed("df", "df_b"), "term_b")
+        .select(
+            "term_a", "term_b", "pair_df",
+            F.log(F.lit(n_docs) * F.col("pair_df")
+                  / (F.col("df_a") * F.col("df_b"))).alias("pmi"))
+    )
+    w = Window.orderBy(
+        F.round(F.col("pmi"), pmi_round).desc(),
+        F.col("term_a").asc(), F.col("term_b").asc())
+    return (
+        scored.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= k)
+        .select("pair_rank", "term_a", "term_b", "pair_df",
+                F.round("pmi", pmi_round).alias("pmi"))
+    )

@@ -473,6 +473,40 @@ def more_like_this(index: InvertedIndex, corpus: DataFrame,
     return topk(scored, k, "score", ascending=False, rank_round=rank_round)
 
 
+def suggest_corrections(index: InvertedIndex, fuzzy: DataFrame, k: int = 3,
+                        max_dist: int = 2,
+                        term_col: str = "qterm") -> DataFrame:
+    """Did-you-mean spell correction: per query term, the top-``k``
+    vocabulary terms within ``max_dist`` edits, ranked edit distance asc,
+    collection frequency desc, term asc — the standard "closest, then most
+    common" suggestion policy (Lucene ``DirectSpellChecker`` analog).
+
+    Returns (query_id, rank, term, dist, cf).  An exact vocab hit ranks
+    first at dist 0 (callers typically suppress suggestions then); a term
+    with no neighborhood yields zero rows.
+
+    Pure vocab operation like :func:`suggest_terms`: one broadcast theta
+    join against the term dictionary with the length-difference Levenshtein
+    lower bound as a cheap prefilter, one bounded per-term window;
+    postings are never touched."""
+    q = fuzzy.select("query_id", F.lower(F.col(term_col)).alias("qterm"))
+    t, qt = F.col("term"), F.col("qterm")
+    cond = (
+        (F.abs(F.length(t) - F.length(qt)) <= max_dist)
+        & (F.levenshtein(t, qt) <= max_dist)
+    )
+    m = index.vocab.select("term", "cf").join(F.broadcast(q), cond).select(
+        "query_id", "term", "cf",
+        F.levenshtein(t, qt).cast("int").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cf").desc(), F.col("term").asc())
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "dist", "cf")
+    )
+
+
 def suggest_terms(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
                   prefix_col: str = "prefix") -> DataFrame:
     """Autocomplete: top-``k`` vocabulary terms per prefix by collection

@@ -187,3 +187,87 @@ def test_contamination_self_is_total(corpus, spark):
     sub = corpus.limit(5)
     for r in benchmark_contamination(sub, sub).collect():
         assert r["n_hit"] == r["n_shingles"] and r["rate"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# did-you-mean / co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_corrections_match_python(bm25_index, texts, spark):
+    from collections import Counter
+
+    from invertedfiles_jl_spark.operators.search import suggest_corrections
+    from invertedfiles_jl_spark.sources.queries import FUZZY_SET, fuzzy_df
+
+    cf = Counter()
+    for t in texts.values():
+        cf.update(oracle.tokenize_ws(t))
+    got = {}
+    for r in suggest_corrections(bm25_index, fuzzy_df(spark), k=3,
+                                 max_dist=2).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["term"], r["dist"], r["cf"]))
+    for qid, qterm in FUZZY_SET:
+        cands = [(d, -cf[t], t) for t in cf
+                 if (d := _levenshtein(t, qterm)) <= 2]
+        cands.sort()
+        want = [(i + 1, t, d, -negcf) for i, (d, negcf, t) in
+                enumerate(cands[:3])]
+        assert sorted(got.get(qid, [])) == want, f"query {qid}"
+
+
+def test_suggest_corrections_exact_term_ranks_first(bm25_index, spark):
+    from invertedfiles_jl_spark.operators.search import suggest_corrections
+
+    q = spark.createDataFrame([(1, "merge")], "query_id long, qterm string")
+    rows = suggest_corrections(bm25_index, q, k=3).collect()
+    top = [r for r in rows if r["rank"] == 1][0]
+    assert top["term"] == "merge" and top["dist"] == 0
+
+
+def test_term_cooccurrence_matches_python(corpus, texts, spark):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from invertedfiles_jl_spark.operators.meta import term_cooccurrence
+
+    n = len(texts)
+    df = Counter()
+    pair_df = Counter()
+    for t in texts.values():
+        toks = sorted(set(oracle.tokenize_ws(t)))
+        df.update(toks)
+        pair_df.update(combinations(toks, 2))
+    scored = [
+        (-round(math.log(n * c / (df[a] * df[b])), 6), a, b, c,
+         round(math.log(n * c / (df[a] * df[b])), 6))
+        for (a, b), c in pair_df.items() if c >= 2
+    ]
+    scored.sort()
+    want = [(i + 1, a, b, c, pmi) for i, (_, a, b, c, pmi) in
+            enumerate(scored[:10])]
+    got = sorted(
+        tuple(r) for r in
+        term_cooccurrence(corpus, k=10, min_pair_df=2).collect())
+    assert got == want
+
+
+def test_term_cooccurrence_doc_term_cap(corpus, texts, spark):
+    """With max_doc_terms=1 only each doc's single top-tf term survives —
+    no pairs can form, so the result is empty (the cap is a real gate)."""
+    from invertedfiles_jl_spark.operators.meta import term_cooccurrence
+
+    assert term_cooccurrence(corpus, k=5, max_doc_terms=1).count() == 0

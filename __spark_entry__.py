@@ -36,6 +36,7 @@ from invertedfiles_jl_spark.sources.queries import (
     PHRASE_SET,
     PREFIX_SET,
     QUERY_SET,
+    WILDCARD_SET,
     queries_df,
     queries_values_sql,
 )
@@ -148,6 +149,45 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 5) AS score
 FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
+"""
+
+
+def _bm25_explain_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for the per-term BM25 score breakdown: recompute sat_tf from
+    raw tf (the engine reads it back as the stored build-time fold — same
+    arithmetic, search.explain_bm25's docstring) and re-rank to find the
+    top-k docs whose rows are emitted."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+det AS (
+  SELECT query_id, tf.doc_id, qterm.term, qtf, idf,
+         (tf * ({k1} + 1.0)
+          / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl))) AS sat_tf
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, sum(qtf * idf * sat_tf) AS score
+  FROM det GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT d.query_id, r.rank, d.doc_id, d.term, d.qtf,
+       round(d.idf, 5) AS idf, round(d.sat_tf, 5) AS sat_tf,
+       round(d.qtf * d.idf * d.sat_tf, 5) AS contrib
+FROM det d JOIN ranked r ON d.query_id = r.query_id AND d.doc_id = r.doc_id
+WHERE r.rank <= {k}
 """
 
 
@@ -554,6 +594,37 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_topk(_index(spark, sf_dir, "bm25"), prefixes_df(spark),
                        k=10)
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard top-k (operators/search.wildcard_topk): ``*``-pattern vocab
+    expansion (LIKE theta-join over the broadcast pattern batch), rank by
+    distinct matching terms per doc.  Fixture mixes prefix/suffix/infix/
+    multi-star/OOV patterns (sources/queries WILDCARD_SET)."""
+    from invertedfiles_jl_spark.operators.search import wildcard_topk
+    from invertedfiles_jl_spark.sources.queries import wildcards_df
+
+    return wildcard_topk(_index(spark, sf_dir, "bm25"), wildcards_df(spark),
+                         k=10)
+
+
+def _q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term score breakdown for the BM25 top-k
+    (operators/search.explain_bm25, Lucene ``explain`` analog): one row per
+    (query, top-k doc, matched term) with qtf/idf/sat_tf/contrib factors,
+    Σ contrib = the doc's bm25_topk score."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import explain_bm25
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = explain_bm25(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select(
+        "query_id", "rank", "doc_id", "term", "qtf",
+        F.round("idf", 5).alias("idf"),
+        F.round("sat_tf", 5).alias("sat_tf"),
+        F.round("contrib", 5).alias("contrib"),
+    )
 
 
 def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,7 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "bm25_explain": _q_bm25_explain,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
@@ -1670,7 +1743,9 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "minhash_near_dups": _osql.minhash_near_dups_sql(),
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
         "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
+        "wildcard_topk": _osql.wildcard_topk_sql(WILDCARD_SET),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
+        "bm25_explain": _bm25_explain_sql(),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),

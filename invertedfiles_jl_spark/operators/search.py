@@ -158,23 +158,63 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
                 rank_round=rank_round, offset=offset)
 
 
+def _bm25_qterms(index: InvertedIndex, queries: DataFrame) -> DataFrame:
+    """(query_id, term_id, qtf, idf) — query terms with idf attached.
+    vocab ⋈ broadcast(qterms) on term_id: attaches df for idf; inner join
+    drops out-of-vocabulary terms (empty Q ⇒ empty result,
+    src/invfilesearch.jl:44)."""
+    n = float(index.stats["n_docs"])
+    qt = query_terms(queries, index.cfg)
+    return index.vocab.select("term_id", "df").join(F.broadcast(qt), "term_id").select(
+        "query_id", "term_id", "qtf",
+        F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+
 def _bm25_scored(index: InvertedIndex, queries: DataFrame,
                  accept_docs: DataFrame | None = None) -> DataFrame:
     """BM25 scoring WITHOUT the top-k: (query_id, doc_id, score, n_matched)
     — shared by :func:`bm25_topk` and :func:`boolean_topk`."""
-    n = float(index.stats["n_docs"])
-    qt = query_terms(queries, index.cfg)
-    # vocab ⋈ broadcast(qterms) on term_id: attaches df for idf; inner join
-    # drops out-of-vocabulary terms (empty Q ⇒ empty result,
-    # src/invfilesearch.jl:44).
-    qt = index.vocab.select("term_id", "df").join(F.broadcast(qt), "term_id").select(
-        "query_id", "term_id", "qtf",
-        F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-    )
-    m = _accept(_matched(index, qt), accept_docs)
+    m = _accept(_matched(index, _bm25_qterms(index, queries)), accept_docs)
     return m.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+def explain_bm25(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                 rank_round: int | None = None) -> DataFrame:
+    """Score explanation (Lucene ``IndexSearcher.explain`` analog): for
+    every doc in the BM25 top-k, one row PER MATCHED QUERY TERM breaking
+    the score into its factors — (query_id, rank, doc_id, term, qtf, idf,
+    sat_tf, contrib) with score = Σ contrib = Σ qtf · idf · sat_tf over
+    the doc's rows.  ``sat_tf`` is the stored saturated length-normalized
+    tf (the build-time fold), so the breakdown is exactly the arithmetic
+    :func:`bm25_topk` summed.
+
+    Plan shape: the top-k (Q·k rows, tiny) broadcasts back into the SAME
+    matched-postings relation that produced it — Catalyst reuses the
+    broadcast query-term join and the pruned postings scan; no second
+    full-corpus pass, and the explain join touches only matched rows."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    # carry term_id through _matched (which strips the join key) so the term
+    # string can be recovered for the breakdown rows
+    qt = _bm25_qterms(index, queries).withColumn("qterm_id", F.col("term_id"))
+    m = _matched(index, qt)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"))
+    top = topk(scored, k, "score", ascending=False, rank_round=rank_round)
+    detail = m.join(F.broadcast(top.select("query_id", "rank", "doc_id")),
+                    ["query_id", "doc_id"])
+    return (
+        detail.join(
+            F.broadcast(index.vocab.select(F.col("term_id").alias("qterm_id"),
+                                           "term")), "qterm_id")
+        .select(
+            "query_id", "rank", "doc_id", "term", "qtf", "idf",
+            F.col("weight").alias("sat_tf"),
+            (F.col("qtf") * F.col("idf") * F.col("weight")).alias("contrib"),
+        )
     )
 
 
@@ -288,6 +328,43 @@ def _distinct_term_matches(index: InvertedIndex,
                       F.explode("doc_ids").alias("doc_id"))
     return m.groupBy("query_id", "doc_id").agg(
         F.countDistinct("term_id").cast("long").alias("n_terms"))
+
+
+def expand_wildcards(index: InvertedIndex, patterns: DataFrame,
+                     pattern_col: str = "pattern") -> DataFrame:
+    """(query_id, term_id) — every vocab term matching each query's
+    ``*``-wildcard pattern (``*`` = any run of characters, anywhere:
+    prefix, suffix, infix, multiple stars).  Lucene ``WildcardQuery``
+    analog; completes the term-expansion family next to
+    :func:`expand_prefixes` and :func:`expand_fuzzy`.
+
+    Same broadcast theta-join shape as the others: the tiny pattern
+    relation broadcasts over the vocab dimension, so one vocab scan serves
+    the whole batch.  The pattern is translated to SQL ``LIKE`` inside the
+    plan (escape literal ``%``/``_``/``\\``, then ``*`` → ``%``) — a pure
+    column expression, so it stays in whole-stage codegen.  A leading
+    non-star run can use the same sorted-vocab range probe as prefixes at
+    a 10^9-term vocabulary; a leading star is an honest vocab scan — the
+    vocab is the SMALL dimension, orders of magnitude under the postings."""
+    pat = F.lower(F.col(pattern_col))
+    pat = F.regexp_replace(pat, r"([%_\\])", r"\\$1")
+    pat = F.regexp_replace(pat, r"\*", "%")
+    q = patterns.select("query_id", pat.alias("like_pat"))
+    return index.vocab.select("term", "term_id").join(
+        F.broadcast(q), F.expr("term LIKE like_pat")
+    ).select("query_id", "term_id")
+
+
+def wildcard_topk(index: InvertedIndex, patterns: DataFrame, k: int = 10,
+                  pattern_col: str = "pattern") -> DataFrame:
+    """Wildcard top-k: rank docs by ``n_terms`` = distinct vocab terms
+    matching the pattern that the doc contains, desc; doc_id asc — the
+    weighting-independent contract shared with :func:`prefix_topk` /
+    :func:`fuzzy_topk`.  A pattern matching no vocab term yields zero rows
+    (empty-Q contract, /root/reference/src/invfilesearch.jl:44)."""
+    scored = _distinct_term_matches(index, expand_wildcards(index, patterns,
+                                                            pattern_col))
+    return topk(scored, k, "n_terms", ascending=False)
 
 
 def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,

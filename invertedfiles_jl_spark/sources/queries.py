@@ -70,6 +70,22 @@ def prefixes_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PREFIX_SET, "query_id long, prefix string")
 
 
+# Fixed wildcard-query set (``*`` = any character run).  Mix: prefix-style,
+# suffix-style, infix (star in the middle), multi-star, and an
+# out-of-vocabulary pattern (must yield zero rows).
+WILDCARD_SET: list[tuple[int, str]] = [
+    (1, "sc*"),      # prefix-style
+    (2, "*ue"),      # suffix: value, ...
+    (3, "w*w"),      # infix: window
+    (4, "s*a*"),     # multi-star: scan, spark, stream, ...
+    (5, "zzz*"),     # OOV
+]
+
+
+def wildcards_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(WILDCARD_SET, "query_id long, pattern string")
+
+
 # Fixed fuzzy-query set (edit-distance term search).  Mix: substitution and
 # deletion typos of vocab terms, an exact term (distance 0 plus its
 # neighborhood), and a far-OOV string (no neighborhood, zero rows).

@@ -32,6 +32,7 @@ from invertedfiles_jl_spark.operators.search import (
     set_distance_topk,
 )
 from invertedfiles_jl_spark.sources.queries import (
+    FIELDED_SET,
     FUZZY_SET,
     PHRASE_SET,
     PREFIX_SET,
@@ -625,6 +626,25 @@ def _q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sat_tf", 5).alias("sat_tf"),
         F.round("contrib", 5).alias("contrib"),
     )
+
+
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25 (operators/fielded.bm25f_topk) over the derived
+    north-rule corpus: path hits weighted 2x with b=0.5, content 1x with
+    b=0.75, fields combined before saturation.  Fixture mixes
+    path-universal / extension / mid-rare / doc-unique path tokens and an
+    OOV query (sources/queries FIELDED_SET)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.fielded import bm25f_topk
+    from invertedfiles_jl_spark.sources.corpus import corpus_from_documents
+    from invertedfiles_jl_spark.sources.queries import fielded_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = bm25f_topk(corpus_from_documents(docs), fielded_df(spark), k=10,
+                     rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
 
 
 def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
+        "bm25f_topk": _q_bm25f_topk,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
@@ -1746,6 +1767,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "wildcard_topk": _osql.wildcard_topk_sql(WILDCARD_SET),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
+        "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),

@@ -172,6 +172,93 @@ SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
 """
 
 
+def bm25f_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                   fields: list[tuple[str, float, float]] | None = None,
+                   k1: float = 1.2) -> str:
+    """BM25F oracle over the derived north-rule corpus
+    (sources.corpus.CORPUS_FROM_DOCUMENTS_DUCKDB): per-field tf, per-field
+    length normalization, field-weighted combination BEFORE saturation —
+    token-for-token the arithmetic of ``operators.fielded.bm25f_topk``."""
+    from invertedfiles_jl_spark.operators.fielded import DEFAULT_FIELDS
+    from invertedfiles_jl_spark.sources.corpus import CORPUS_FROM_DOCUMENTS_DUCKDB
+
+    fields = DEFAULT_FIELDS if fields is None else fields
+    params = ", ".join(f"('{f}', CAST({w} AS DOUBLE), CAST({b} AS DOUBLE))"
+                       for f, w, b in fields)
+    ptok = ("list_filter(string_split_regex(lower(path), '[^a-z0-9]+'), "
+            "t -> t != '')")
+    ctok = ("list_filter(string_split_regex(lower(content), '\\s+'), "
+            "t -> t != '')")
+    toks = {"path": ptok, "content": ctok}
+    tok_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, unnest({toks[f]}) AS term FROM corpus"
+        for f, _, _ in fields)
+    qrows = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in queries)
+    return f"""
+WITH corpus AS ({CORPUS_FROM_DOCUMENTS_DUCKDB}),
+tok AS ({tok_union}),
+tf AS (
+  SELECT doc_id, field, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, field, term
+),
+flen AS (
+  SELECT doc_id, field, sum(tf) AS flen FROM tf GROUP BY doc_id, field
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+avglen AS (
+  SELECT field, sum(flen) / (SELECT n FROM nd) AS avglen
+  FROM flen GROUP BY field
+),
+params(field, w, b) AS (VALUES {params}),
+dfr AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY term
+),
+q(query_id, content) AS (VALUES {qrows}),
+qtok AS (
+  SELECT query_id,
+         unnest(list_filter(string_split_regex(lower(content), '\\s+'),
+                t -> t != '')) AS term
+  FROM q
+),
+qt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM qtok GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN dfr ON qt.term = dfr.term
+),
+norm AS (
+  SELECT query_id, tf.doc_id, tf.term, qtf, idf,
+         p.w * tf.tf / (1.0 - p.b + p.b * flen.flen / avglen.avglen) AS wtf_f
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN flen ON tf.doc_id = flen.doc_id AND tf.field = flen.field
+  JOIN avglen ON tf.field = avglen.field
+  JOIN params p ON tf.field = p.field
+),
+pt AS (
+  SELECT query_id, doc_id, term, qtf, idf, sum(wtf_f) AS wtf
+  FROM norm GROUP BY query_id, doc_id, term, qtf, idf
+),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(qtf * idf * wtf * {k1 + 1.0} / ({k1} + wtf)) AS score
+  FROM pt GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def wildcard_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
     """Wildcard top-k oracle: same distinct (doc, term) relation as the
     prefix oracle, matched on SQL LIKE with ``*`` → ``%`` (fixture patterns

@@ -102,6 +102,29 @@ def fuzzy_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(FUZZY_SET, "query_id long, qterm string")
 
 
+# Fixed fielded-query set (BM25F over the derived north-rule corpus).  Mix:
+# a path-universal token ('src', near-zero idf) with content terms, a
+# path-extension token, a mid-rare path token with a content term, a
+# doc-unique path token (file{doc_id}), and a fully OOV query.
+FIELDED_SET: list[tuple[int, str]] = [
+    (1, "src spark merge"),
+    (2, "txt value"),
+    (3, "mod7 scan"),
+    (4, "file12"),
+    (5, "zzzmissing"),
+]
+
+
+def fielded_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(FIELDED_SET, "query_id long, content string")
+
+
+def fielded_values_sql() -> str:
+    rows = ", ".join(f"(CAST({qid} AS BIGINT), '{text}')"
+                     for qid, text in FIELDED_SET)
+    return f"(VALUES {rows}) AS fq(query_id, content)"
+
+
 # Fixed boolean-query set (must / should / must_not clauses).  Mix: must
 # with should boosters, pure conjunction, should-only with an exclusion,
 # an OOV must (zero rows by contract), and a hot-term exclusion.

@@ -647,6 +647,18 @@ def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
+_PACK_CTX = 128
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing manifest (operators/packing.pack_sequences):
+    concat-and-cut at ctx=128 tokens in doc_id order, two-level cumsum (no
+    global window), one row per (doc, shard it touches)."""
+    from invertedfiles_jl_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_corpus(spark, sf_dir), ctx=_PACK_CTX)
+
+
 def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF keyword extraction (functions/text.doc_keywords):
     top-5 terms per document, rank-rounded like the search kernels."""
@@ -1687,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
+        "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
@@ -1768,6 +1781,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
+        "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),

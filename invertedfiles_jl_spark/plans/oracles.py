@@ -172,6 +172,33 @@ SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
 """
 
 
+def pack_sequences_sql(ctx: int) -> str:
+    """Sequence-packing oracle: the Spark side's two-level scan is exactly a
+    global window cumsum (same doc_id order), so the closed-form mirror is
+    one window + generate_series explode."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+  FROM tl WHERE n > 0
+),
+spans AS (
+  SELECT unnest(generate_series(CAST(floor(start / {ctx}) AS BIGINT),
+                CAST(floor((start + n - 1) / {ctx}) AS BIGINT))) AS shard_id,
+         doc_id, start, n
+  FROM c
+)
+SELECT shard_id, doc_id,
+       greatest(CAST(0 AS BIGINT), shard_id * {ctx} - start) AS begin_tok,
+       least(n, (shard_id + 1) * {ctx} - start) AS end_tok,
+       greatest(CAST(0 AS BIGINT), start - shard_id * {ctx}) AS offset_in_shard
+FROM spans
+"""
+
+
 def bm25f_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                    fields: list[tuple[str, float, float]] | None = None,
                    k1: float = 1.2) -> str:

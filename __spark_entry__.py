@@ -734,6 +734,18 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                              default=_SAMPLE_DEFAULT)
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing
+    (operators/sampling.temperature_sample, T=2): post-sample counts
+    ∝ count^(1/T); the smallest language keeps everything."""
+    from invertedfiles_jl_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    return temperature_sample(docs, "lang", temperature=2.0) \
+        .select("doc_id", "lang")
+
+
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the verified MinHash near-dup pairs — the
     dedup decision step (keep doc_id == cluster_id, drop the rest).  Spark
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
+        "temperature_sample": _q_temperature_sample,
         "ngram_set_dups": _q_ngram_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -1788,6 +1801,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),
+        "temperature_sample": _osql.temperature_sample_sql(
+            "lang", temperature=2.0),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),
         "simhash": _osql.simhash_sql(),
         "lang_id": _osql.lang_id_sql(),

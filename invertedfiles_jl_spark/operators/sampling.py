@@ -78,6 +78,43 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     return df.withColumn(out_col, expr)
 
 
+def temperature_sample(df: DataFrame, strata_col: str,
+                       temperature: float = 2.0, id_col: str = "doc_id",
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-based stratum rebalancing — the multilingual data-mixing
+    primitive (sampling probability ∝ p^(1/T) instead of the natural p, as
+    in multilingual-pretraining practice): downsample each stratum with
+
+        rate(s) = (c_min / c_s) ^ (1 - 1/T)
+
+    so post-sample counts are proportional to c_s^(1/T).  The SMALLEST
+    stratum keeps everything (rate 1); T=1 is the identity; T→∞ flattens
+    to uniform counts.  Keep decisions reuse the deterministic md5 bucket —
+    append-stable per stratum-count snapshot, reproducible in DuckDB.
+
+    Everything is declarative: stratum counts are one tiny aggregate
+    (#strata rows) broadcast back into a map-side filter — no driver-side
+    math, so Spark and the oracle compute the rate with the same SQL
+    arithmetic.  The rate is quantized (round 6) before thresholding so a
+    last-ULP ``pow`` difference between engines cannot move a bucket
+    boundary.  At 100 TB: one partial+final count agg + one broadcast join
+    — the filter itself stays map-only."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    expo = 1.0 - 1.0 / float(temperature)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    thr = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col,
+        F.floor(F.round(
+            F.pow(F.col("_cmin").cast("double") / F.col("_c").cast("double"),
+                  F.lit(expo)), 6) * HASH_SPACE).alias("_thr"),
+    )
+    bucket = F.expr(split_bucket_sql(id_col, salt))
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(bucket < F.col("_thr")).drop("_thr"))
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       strata_col: str, default: float = 0.0,
                       id_col: str = "doc_id",

@@ -385,6 +385,35 @@ WHERE {duckdb_split_bucket_sql('doc_id', salt)} < {thr}
 """
 
 
+def temperature_sample_sql(strata_col: str, temperature: float = 2.0,
+                           salt: str = "temp") -> str:
+    """Mirror of ``sampling.temperature_sample`` over documents: identical
+    md5 bucket, identical rate arithmetic (quantized with round 6 before
+    thresholding, so a last-ULP ``pow`` divergence cannot flip a row)."""
+    from invertedfiles_jl_spark.operators.sampling import (
+        HASH_SPACE,
+        duckdb_split_bucket_sql,
+    )
+
+    expo = 1.0 - 1.0 / float(temperature)
+    return f"""
+WITH c AS (
+  SELECT {strata_col}, CAST(count(*) AS BIGINT) AS _c
+  FROM documents GROUP BY {strata_col}
+),
+thr AS (
+  SELECT {strata_col},
+         CAST(floor(round(pow(CAST((SELECT min(_c) FROM c) AS DOUBLE)
+              / CAST(_c AS DOUBLE), {expo}), 6) * {HASH_SPACE}) AS BIGINT)
+              AS _thr
+  FROM c
+)
+SELECT d.doc_id, d.{strata_col}
+FROM documents d JOIN thr USING ({strata_col})
+WHERE {duckdb_split_bucket_sql('d.doc_id', salt)} < _thr
+"""
+
+
 def near_dup_clusters_sql(threshold: float = 0.5) -> str:
     """Connected components of the verified MinHash pair graph via a
     recursive reachability CTE (label = min reachable doc_id) — the

@@ -9,6 +9,7 @@ from invertedfiles_jl_spark.operators.sampling import (
     HASH_SPACE,
     hash_split,
     stratified_sample,
+    temperature_sample,
 )
 
 WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -72,6 +73,46 @@ def test_sampling_plans_are_map_only(docs):
                stratified_sample(docs, {"en": 0.3}, "lang", default=0.5)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_temperature_sample_rates(docs):
+    """Smallest stratum keeps everything; realized keep-rates track
+    (c_min/c)^(1-1/T); T=1 is the identity; deterministic."""
+    total = {r["lang"]: r["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    cmin = min(total.values())
+    smallest = min(total, key=total.get)
+    kept = temperature_sample(docs, "lang", temperature=2.0).collect()
+    by_lang: dict = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_lang[smallest] == {
+        r["doc_id"] for r in docs.filter(F.col("lang") == smallest).collect()}
+    for lang, c in total.items():
+        rate = (cmin / c) ** 0.5
+        realized = len(by_lang.get(lang, ())) / c
+        assert abs(realized - rate) < 0.15, (lang, realized, rate)
+    # T=1 keeps every row
+    assert temperature_sample(docs, "lang", temperature=1.0).count() \
+        == docs.count()
+    # deterministic re-run
+    again = {r["doc_id"]
+             for r in temperature_sample(docs, "lang", temperature=2.0).collect()}
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_temperature_monotone_in_t(docs):
+    """Higher temperature downsamples large strata harder, and with the
+    same salt the bucket order is shared — so the largest stratum's T=4
+    survivor set must be a STRICT subset of its T=2 survivor set."""
+    total = {r["lang"]: r["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    largest = max(total, key=total.get)
+    t2 = {r["doc_id"] for r in temperature_sample(
+        docs, "lang", temperature=2.0).collect() if r["lang"] == largest}
+    t4 = {r["doc_id"] for r in temperature_sample(
+        docs, "lang", temperature=4.0).collect() if r["lang"] == largest}
+    assert t4 and t4 < t2
 
 
 def test_threshold_edges(spark):

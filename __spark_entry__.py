@@ -192,6 +192,80 @@ WHERE r.rank <= {k}
 """
 
 
+def _prf_bm25_sql(k: int = 10, fb_docs: int = 5, fb_terms: int = 5,
+                  beta: float = 0.5, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for pseudo-relevance feedback: pass-1 BM25 top-fb_docs,
+    expansion = top-fb_terms by round(tf·idf, 6) over the feedback docs'
+    tokens (original query terms excluded), re-score with qtf/β weights —
+    stage-for-stage the plan of ``search.prf_bm25_topk``."""
+    sat = (f"(tf * ({k1} + 1.0) / (tf + {k1} * ((1.0 - {b}) "
+           f"+ {b} * doc_len / avgdl)))")
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored1 AS (
+  SELECT query_id, tf.doc_id, sum(qtf * idf * {sat}) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id ASC) AS r
+    FROM scored1
+  ) WHERE r <= {fb_docs}
+),
+ftf AS (
+  SELECT f.query_id, tok.term, CAST(count(*) AS BIGINT) AS ftf
+  FROM fb f JOIN tok ON tok.doc_id = f.doc_id
+  GROUP BY f.query_id, tok.term
+),
+cand AS (
+  SELECT ftf.query_id, ftf.term, ftf.ftf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM ftf JOIN vocab ON ftf.term = vocab.term CROSS JOIN stats
+  WHERE NOT EXISTS (SELECT 1 FROM qt
+                    WHERE qt.query_id = ftf.query_id AND qt.term = ftf.term)
+),
+expansion AS (
+  SELECT query_id, term, CAST({beta} AS DOUBLE) AS w, idf FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY round(ftf * idf, 6) DESC, term ASC) AS trank
+    FROM cand
+  ) WHERE trank <= {fb_terms}
+),
+combined AS (
+  SELECT query_id, term, CAST(qtf AS DOUBLE) AS w, idf FROM qterm
+  UNION ALL
+  SELECT query_id, term, w, idf FROM expansion
+),
+scored AS (
+  SELECT query_id, tf.doc_id, sum(w * idf * {sat}) AS score
+  FROM combined
+  JOIN tf ON combined.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _boolean_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """Boolean (must/should/must_not) oracle: BM25 over must+should terms,
     gated on count(DISTINCT raw must terms) == count(DISTINCT matched must
@@ -643,6 +717,21 @@ def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     res = bm25f_topk(corpus_from_documents(docs), fielded_df(spark), k=10,
                      rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (operators/search.prf_bm25_topk): BM25
+    pass 1, top-5 feedback docs → top-5 tf·idf expansion terms (originals
+    excluded) at weight β=0.5 → re-score.  OOV query ⇒ zero rows."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import prf_bm25_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = prf_bm25_topk(idx, _corpus(spark, sf_dir), queries_df(spark),
+                        k=10, fb_docs=5, fb_terms=5, beta=0.5, rank_round=6)
     return res.select("query_id", "rank", "doc_id",
                       F.round("score", 5).alias("score"))
 
@@ -1711,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
+        "prf_bm25_topk": _q_prf_bm25,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -1794,6 +1884,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
+        "prf_bm25_topk": _prf_bm25_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),

@@ -550,6 +550,71 @@ def more_like_this(index: InvertedIndex, corpus: DataFrame,
     return topk(scored, k, "score", ascending=False, rank_round=rank_round)
 
 
+def prf_bm25_topk(index: InvertedIndex, corpus: DataFrame,
+                  queries: DataFrame, k: int = 10, fb_docs: int = 5,
+                  fb_terms: int = 5, beta: float = 0.5,
+                  rank_round: int | None = None, sel_round: int = 6,
+                  content_col: str = "content") -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style two-pass retrieval): run BM25,
+    mine the top-``fb_docs`` hits for the ``fb_terms`` strongest expansion
+    terms (tf·idf over the feedback set, original query terms excluded),
+    then re-score with the expanded query — original terms keep weight
+    ``qtf``, expansion terms get weight ``beta``:
+
+        score = Σ_orig qtf · idf · sat_tf  +  Σ_exp β · idf · sat_tf
+
+    Deterministic end-to-end: pass-1 ranks on the standard
+    (round(score, rank_round), doc_id) key, term selection on
+    (round(tf·idf, sel_round) desc, term asc).  A fully-OOV query has no
+    feedback docs, hence no expansion, hence zero rows (empty-Q contract).
+
+    Plan shape: pass 1 is :func:`bm25_topk` (Q·fb_docs rows out);
+    feedback-doc contents come from the CORPUS (the forward index) via a
+    broadcast join — Q·fb_docs docs tokenized, never the postings
+    re-exploded; the combined (query, term, weight) relation (≤ Q·(|q| +
+    fb_terms) rows) broadcasts into the standard matched-postings pass.
+    Two corpus-scale passes total — the price of feedback, not a scale
+    hazard."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+    from invertedfiles_jl_spark.operators.build import term_id_col
+
+    n = float(index.stats["n_docs"])
+    fb = bm25_topk(index, queries, k=fb_docs, rank_round=rank_round)
+
+    # expansion-term mining over the feedback docs' raw content
+    src = corpus.select("doc_id", content_col).join(
+        F.broadcast(fb.select("query_id", "doc_id")), "doc_id")
+    t = exploded_terms(src, "query_id", "query_id", content_col, index.cfg)
+    ftf = t.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ftf = ftf.withColumn("term_id", term_id_col(F.col("term")))
+    qt_orig = query_terms(queries, index.cfg)
+    cand = (
+        index.vocab.select("term_id", "df").join(ftf, "term_id")
+        .join(qt_orig.select("query_id", "term_id"),
+              ["query_id", "term_id"], "left_anti")
+        .select(
+            "query_id", "term_id", "term", "tf",
+            F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)).alias("idf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("tf") * F.col("idf"), sel_round).desc(),
+        F.col("term").asc())
+    expansion = (cand.withColumn("trank", F.row_number().over(w))
+                 .filter(F.col("trank") <= fb_terms)
+                 .select("query_id", "term_id",
+                         F.lit(float(beta)).alias("w"), "idf"))
+
+    orig = _bm25_qterms(index, queries).select(
+        "query_id", "term_id", F.col("qtf").cast("double").alias("w"), "idf")
+    combined = orig.unionByName(expansion)
+    m = _matched(index, combined)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("w") * F.col("idf") * F.col("weight")).alias("score"))
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
 def suggest_corrections(index: InvertedIndex, fuzzy: DataFrame, k: int = 3,
                         max_dist: int = 2,
                         term_col: str = "qterm") -> DataFrame:

@@ -108,6 +108,34 @@ def main(argv=None):
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split")
 
+    pk = sub.add_parser(
+        "pack",
+        help="sequence-packing manifest: concat-and-cut the corpus into "
+             "ctx-token training shards (operators.packing) — one row per "
+             "(doc, shard it touches)")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--ctx", type=int, required=True,
+                    help="shard length in tokens")
+    pk.add_argument("--content-col", default="content")
+
+    sm = sub.add_parser(
+        "sample",
+        help="deterministic stratum rebalancing: temperature sampling "
+             "(rates from the live stratum counts) or fixed per-stratum "
+             "fractions — map-only, append-stable")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--strata-col", required=True)
+    sm.add_argument("--temperature", type=float, default=None,
+                    help="temperature-sample with this T (rates ∝ (c_min/c)^(1-1/T))")
+    sm.add_argument("--fractions", default=None,
+                    help="name=rate pairs, comma-separated (fixed-rate mode)")
+    sm.add_argument("--default-fraction", type=float, default=0.0)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--salt", default=None,
+                    help="hash salt (default: 'temp' / 'sample' per mode)")
+
     pf = sub.add_parser(
         "profile",
         help="one-row corpus statistics report (doc-length/df percentiles) "
@@ -202,6 +230,44 @@ def main(argv=None):
         hash_split(data, weights, id_col=args.id_col, salt=args.salt) \
             .write.mode("overwrite").parquet(args.output)
         print(f"wrote split table to {args.output}")
+        return 0
+
+    if args.cmd == "pack":
+        from invertedfiles_jl_spark.operators.packing import pack_sequences
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        pack_sequences(data, ctx=args.ctx, content_col=args.content_col) \
+            .write.mode("overwrite").parquet(args.output)
+        print(f"wrote packing manifest (ctx={args.ctx}) to {args.output}")
+        return 0
+
+    if args.cmd == "sample":
+        from invertedfiles_jl_spark.operators.sampling import (
+            stratified_sample,
+            temperature_sample,
+        )
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        if (args.temperature is None) == (args.fractions is None):
+            raise SystemExit("sample: pass exactly one of --temperature / --fractions")
+        if args.temperature is not None:
+            res = temperature_sample(data, args.strata_col,
+                                     temperature=args.temperature,
+                                     id_col=args.id_col,
+                                     salt=args.salt or "temp")
+        else:
+            fracs = {}
+            for part in args.fractions.split(","):
+                name, f = part.split("=")
+                fracs[name.strip()] = float(f)
+            res = stratified_sample(data, fracs, args.strata_col,
+                                    default=args.default_fraction,
+                                    id_col=args.id_col,
+                                    salt=args.salt or "sample")
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote sampled table to {args.output}")
         return 0
 
     if args.cmd == "profile":

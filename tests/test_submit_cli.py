@@ -272,3 +272,33 @@ def test_cli_split_and_profile(spark, corpus_path, tmp_path):
     got_row = spark.read.parquet(pout).first()
     want_row = corpus_profile(corpus).first()
     assert got_row == want_row
+
+
+def test_cli_pack_and_sample(spark, corpus_path, documents, tmp_path):
+    from invertedfiles_jl_spark.operators.packing import pack_sequences
+    from invertedfiles_jl_spark.operators.sampling import temperature_sample
+
+    out = str(tmp_path / "pack_res")
+    assert submit_main.main(["pack", "--input", corpus_path,
+                             "--ctx", "128", "--output", out]) == 0
+    corpus = spark.read.parquet(corpus_path)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in pack_sequences(corpus, ctx=128).collect())
+    assert got == want and got
+
+    sout = str(tmp_path / "sample_res")
+    docs_path = str(tmp_path / "docs_lang")
+    documents.select("doc_id", "lang").write.mode("overwrite").parquet(docs_path)
+    assert submit_main.main(["sample", "--input", docs_path,
+                             "--strata-col", "lang",
+                             "--temperature", "2.0",
+                             "--output", sout]) == 0
+    got_ids = {r.doc_id for r in spark.read.parquet(sout).collect()}
+    want_ids = {r.doc_id for r in temperature_sample(
+        spark.read.parquet(docs_path), "lang", temperature=2.0).collect()}
+    assert got_ids == want_ids and got_ids
+
+    # exactly one of --temperature / --fractions is required
+    with pytest.raises(SystemExit):
+        submit_main.main(["sample", "--input", docs_path,
+                          "--strata-col", "lang", "--output", sout])

@@ -721,6 +721,60 @@ def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
+_BOOST_SQL = "1.0 + (doc_id % 5) * 0.05"
+
+
+def _q_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score retrieval (operators/search.boosted_bm25_topk):
+    BM25 × a deterministic per-doc metadata boost (1.0 + (doc_id%5)·0.05 —
+    a stand-in for recency/quality), joined after aggregation."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import boosted_bm25_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    boosts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(_BOOST_SQL).alias("boost"))
+    res = boosted_bm25_topk(idx, queries_df(spark), boosts, k=10,
+                            rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _boosted_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: the plain BM25 scored CTE times the same boost expression."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+boosted AS (
+  SELECT query_id, s.doc_id, s.score * ({_BOOST_SQL.replace('doc_id', 's.doc_id')}) AS score
+  FROM scored s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance feedback (operators/search.prf_bm25_topk): BM25
     pass 1, top-5 feedback docs → top-5 tf·idf expansion terms (originals
@@ -833,6 +887,18 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     return temperature_sample(docs, "lang", temperature=2.0) \
         .select("doc_id", "lang")
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language overrepresented terms (operators/meta.significant_terms,
+    JLH heuristic) — top-10 per language, ≥3 docs of presence."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.meta import significant_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("text").alias("content"))
+    return significant_terms(docs, "lang", n=10, min_fg=3)
 
 
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
         "prf_bm25_topk": _q_prf_bm25,
+        "boosted_bm25_topk": _q_boosted_bm25,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -1808,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "temperature_sample": _q_temperature_sample,
+        "significant_terms": _q_significant_terms,
         "ngram_set_dups": _q_ngram_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -1885,6 +1953,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
         "prf_bm25_topk": _prf_bm25_sql(),
+        "boosted_bm25_topk": _boosted_bm25_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
@@ -1894,6 +1963,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),
         "temperature_sample": _osql.temperature_sample_sql(
             "lang", temperature=2.0),
+        "significant_terms": _osql.significant_terms_sql(n=10, min_fg=3),
         "ngram_set_dups": _osql.ngram_set_dups_sql(),
         "simhash": _osql.simhash_sql(),
         "lang_id": _osql.lang_id_sql(),

@@ -166,3 +166,60 @@ def term_cooccurrence(corpus: DataFrame, cfg=None, k: int = 20,
         .select("pair_rank", "term_a", "term_b", "pair_df",
                 F.round("pmi", pmi_round).alias("pmi"))
     )
+
+
+def significant_terms(docs: DataFrame, strata_col: str, cfg=None,
+                      n: int = 10, min_fg: int = 3, jlh_round: int = 6,
+                      doc_col: str = "doc_id",
+                      content_col: str = "content") -> DataFrame:
+    """Per-stratum overrepresented terms (Elasticsearch ``significant_terms``
+    analog, JLH heuristic): for each stratum (language, source, time
+    bucket, ...) rank terms by how much MORE of the stratum's documents
+    contain them than the whole corpus's —
+
+        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct),
+        fg_pct = fg / n_stratum,  bg_pct = bg / n_docs  (document presence)
+
+    keeping only genuinely overrepresented terms (fg_pct > bg_pct) seen in
+    at least ``min_fg`` stratum docs.  Returns (stratum, rank, term, fg,
+    bg, jlh), ranked round(jlh, ``jlh_round``) desc / term asc per stratum.
+
+    The corpus-drift / contamination-triage tool: "what vocabulary is
+    suddenly specific to this source?".  Scale: two partial+final distinct-
+    presence aggregations (per-stratum and global) joined on the term
+    dimension, one bounded per-stratum window — no pairwise work anywhere.
+    """
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+    from pyspark.sql import Window
+
+    cfg = cfg or IndexConfig()
+    strata_sizes = docs.groupBy(strata_col).agg(
+        F.countDistinct(doc_col).alias("n_stratum"))
+    n_docs = float(docs.select(doc_col).distinct().count())
+    # exploded_terms keeps only (doc, term); re-attach the stratum by key
+    dt = (exploded_terms(docs, "doc_id", doc_col, content_col, cfg)
+          .distinct()
+          .join(docs.select(F.col(doc_col).alias("doc_id"), strata_col),
+                "doc_id"))
+    bg = dt.groupBy("term").agg(F.countDistinct("doc_id").alias("bg"))
+    fg = dt.groupBy(strata_col, "term").agg(
+        F.countDistinct("doc_id").alias("fg"))
+    scored = (
+        fg.filter(F.col("fg") >= min_fg)
+        .join(bg, "term")
+        .join(F.broadcast(strata_sizes), strata_col)
+        .withColumn("fg_pct", F.col("fg") / F.col("n_stratum"))
+        .withColumn("bg_pct", F.col("bg") / F.lit(n_docs))
+        .filter(F.col("fg_pct") > F.col("bg_pct"))
+        .withColumn("jlh", (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")))
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.round(F.col("jlh"), jlh_round).desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(F.col(strata_col).alias("stratum"), "rank", "term",
+                "fg", "bg", F.round("jlh", jlh_round).alias("jlh"))
+    )

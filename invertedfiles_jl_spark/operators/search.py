@@ -550,6 +550,31 @@ def more_like_this(index: InvertedIndex, corpus: DataFrame,
     return topk(scored, k, "score", ascending=False, rank_round=rank_round)
 
 
+def boosted_bm25_topk(index: InvertedIndex, queries: DataFrame,
+                      boosts: DataFrame, k: int = 10,
+                      rank_round: int | None = None,
+                      boost_col: str = "boost") -> DataFrame:
+    """Function-score retrieval (Lucene ``FunctionScoreQuery`` analog):
+    multiply each candidate's BM25 score by a per-document boost from a
+    metadata relation (recency, quality, source trust, ...).  Docs absent
+    from ``boosts`` keep their raw score (neutral boost 1.0); a boost of 0
+    keeps the doc in the pool with score 0 (use an accept set to EXCLUDE).
+
+    Plan shape: the boost join lands AFTER the scoring aggregation, so it
+    touches only candidate rows (Q × matched docs), never the postings —
+    at 100 TB the boost table is a doc-keyed dimension and AQE picks
+    broadcast vs shuffle from its real size."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    scored = _bm25_scored(index, queries).drop("n_matched")
+    b = boosts.select("doc_id",
+                      F.col(boost_col).cast("double").alias("_boost"))
+    out = (scored.join(b, "doc_id", "left")
+           .select("query_id", "doc_id",
+                   (F.col("score") * F.coalesce(F.col("_boost"), F.lit(1.0))
+                    ).alias("score")))
+    return topk(out, k, "score", ascending=False, rank_round=rank_round)
+
+
 def prf_bm25_topk(index: InvertedIndex, corpus: DataFrame,
                   queries: DataFrame, k: int = 10, fb_docs: int = 5,
                   fb_terms: int = 5, beta: float = 0.5,

@@ -385,6 +385,53 @@ WHERE {duckdb_split_bucket_sql('doc_id', salt)} < {thr}
 """
 
 
+def significant_terms_sql(n: int = 10, min_fg: int = 3,
+                          jlh_round: int = 6) -> str:
+    """Mirror of ``meta.significant_terms`` over documents stratified by
+    ``lang``: distinct document presence, JLH = (fg% − bg%)·(fg%/bg%)."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_T}) AS term FROM documents
+),
+dts AS (
+  SELECT dt.doc_id, dt.term, d.lang FROM dt JOIN documents d USING (doc_id)
+),
+ss AS (
+  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_stratum
+  FROM documents GROUP BY lang
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+bg AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS bg
+  FROM dts GROUP BY term
+),
+fg AS (
+  SELECT lang, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS fg
+  FROM dts GROUP BY lang, term
+),
+scored AS (
+  SELECT fg.lang, fg.term, fg.fg, bg.bg,
+         fg.fg / CAST(n_stratum AS DOUBLE) AS fg_pct,
+         bg.bg / (SELECT n FROM nd) AS bg_pct
+  FROM fg JOIN bg USING (term) JOIN ss USING (lang)
+  WHERE fg.fg >= {min_fg}
+),
+j AS (
+  SELECT lang, term, fg, bg,
+         (fg_pct - bg_pct) * (fg_pct / bg_pct) AS jlh
+  FROM scored WHERE fg_pct > bg_pct
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       ORDER BY round(jlh, {jlh_round}) DESC, term ASC) AS INTEGER) AS rank
+  FROM j
+)
+SELECT lang AS stratum, rank, term, fg, bg,
+       round(jlh, {jlh_round}) AS jlh
+FROM ranked WHERE rank <= {n}
+"""
+
+
 def temperature_sample_sql(strata_col: str, temperature: float = 2.0,
                            salt: str = "temp") -> str:
     """Mirror of ``sampling.temperature_sample`` over documents: identical

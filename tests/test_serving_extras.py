@@ -271,3 +271,91 @@ def test_term_cooccurrence_doc_term_cap(corpus, texts, spark):
     from invertedfiles_jl_spark.operators.meta import term_cooccurrence
 
     assert term_cooccurrence(corpus, k=5, max_doc_terms=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# boosted (function-score) retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_boosted_neutral_is_identity(bm25_index, spark):
+    """All-ones boosts reproduce bm25_topk exactly; docs missing from the
+    boost relation default to neutral."""
+    from invertedfiles_jl_spark.operators.search import boosted_bm25_topk
+
+    q = queries_df(spark)
+    want = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(bm25_index, q, k=10, rank_round=6).collect()]
+    empty = spark.createDataFrame([], "doc_id long, boost double")
+    got = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+           for r in boosted_bm25_topk(bm25_index, q, empty, k=10,
+                                      rank_round=6).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_boosted_matches_python(bm25_index, texts, spark):
+    """score' = bm25 score × (1 + (doc_id % 5)·0.05), re-ranked."""
+    import math
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import boosted_bm25_topk
+
+    q = queries_df(spark)
+    base = {}
+    for r in bm25_topk(bm25_index, q, k=10_000, rank_round=6).collect():
+        base.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    boosts = bm25_index.docs.select(
+        "doc_id", F.expr("1.0 + (doc_id % 5) * 0.05").alias("boost"))
+    got = {}
+    for r in boosted_bm25_topk(bm25_index, q, boosts, k=10,
+                               rank_round=6).collect():
+        got[(r["query_id"], r["rank"])] = (r["doc_id"], r["score"])
+    for qid, docs in base.items():
+        want = sorted(((d, s * (1.0 + (d % 5) * 0.05)) for d, s in docs.items()),
+                      key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+        for rank, (d, s) in enumerate(want, start=1):
+            gd, gs = got[(qid, rank)]
+            assert gd == d, (qid, rank)
+            assert math.isclose(gs, s, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# significant terms
+# ---------------------------------------------------------------------------
+
+
+def test_significant_terms_match_python(documents, docs_pandas, spark):
+    import math
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.meta import significant_terms
+
+    docs = documents.select("doc_id", "lang", F.col("text").alias("content"))
+    got = {(r["stratum"], r["rank"]): (r["term"], r["fg"], r["bg"],
+                                       r["jlh"])
+           for r in significant_terms(docs, "lang", n=5, min_fg=3).collect()}
+    # python mirror
+    langs = dict(zip(docs_pandas["doc_id"], docs_pandas["lang"]))
+    terms = {d: set(t.lower().split())
+             for d, t in zip(docs_pandas["doc_id"], docs_pandas["text"])}
+    n = len(terms)
+    strata: dict = {}
+    for d, l in langs.items():
+        strata.setdefault(l, set()).add(d)
+    bg = Counter(t for ts in terms.values() for t in ts)
+    for lang, members in strata.items():
+        fg = Counter(t for d in members for t in terms[d])
+        cand = []
+        for t, f in fg.items():
+            if f < 3:
+                continue
+            fg_pct = f / len(members)
+            bg_pct = bg[t] / n
+            if fg_pct > bg_pct:
+                cand.append((t, f, bg[t],
+                             (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+        cand.sort(key=lambda x: (-round(x[3], 6), x[0]))
+        for rank, (t, f, b_, j) in enumerate(cand[:5], start=1):
+            gt, gf, gb, gj = got[(lang, rank)]
+            assert (gt, gf, gb) == (t, f, b_), (lang, rank)
+            assert math.isclose(gj, round(j, 6), abs_tol=2e-6)

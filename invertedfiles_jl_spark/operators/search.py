@@ -616,7 +616,7 @@ def prf_bm25_topk(index: InvertedIndex, corpus: DataFrame,
     qt_orig = query_terms(queries, index.cfg)
     cand = (
         index.vocab.select("term_id", "df").join(ftf, "term_id")
-        .join(qt_orig.select("query_id", "term_id"),
+        .join(F.broadcast(qt_orig.select("query_id", "term_id")),
               ["query_id", "term_id"], "left_anti")
         .select(
             "query_id", "term_id", "term", "tf",

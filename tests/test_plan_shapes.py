@@ -251,3 +251,50 @@ def test_facet_mlt_contamination_plans_no_smj(spark, served, documents):
     for df in plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
+
+
+def test_wildcard_explain_prf_plans_no_smj(spark, served, documents):
+    """wildcard expansion, explain's top-k re-join and PRF's two-pass
+    pipeline must all stay SortMergeJoin-free: every query-side relation
+    (patterns, top-k, feedback ids, combined term weights) broadcasts."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import (
+        explain_bm25,
+        prf_bm25_topk,
+        wildcard_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import wildcards_df
+
+    idx, _ = served
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    plans = [
+        wildcard_topk(idx, wildcards_df(spark)),
+        explain_bm25(idx, queries_df(spark), k=10),
+        prf_bm25_topk(idx, corpus, queries_df(spark), k=10),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+    # wildcard's postings scan must not read weights
+    fp = formatted_plan(wildcard_topk(idx, wildcards_df(spark)))
+    for schema in postings_scan_schemas(fp):
+        assert "weights" not in schema
+
+
+def test_pack_sequences_no_single_partition_exchange(spark, documents):
+    """The packing manifest must never collapse to one partition: the
+    cumsum window is per-range-partition, so the only exchanges are the
+    range repartition itself (and the tiny totals agg) — an
+    'Exchange SinglePartition' would mean a global-order window snuck in."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.packing import pack_sequences
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    m = pack_sequences(corpus, ctx=128)
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    # the final manifest plan (post-offsets) must not single-partition the
+    # data path; the totals .collect() inside global_starts already ran
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan

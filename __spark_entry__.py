@@ -1083,6 +1083,103 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("rrf", 6).alias("rrf"), "n_lists")
 
 
+def _q_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense-cosine retrieval fused by per-query MIN-MAX
+    score normalization + weighted sum (alpha = 0.5) — the score-based
+    fusion alternative to RRF.  Same doc-as-query fixture as
+    ``hybrid_rrf_topk``; scores round to 6 dp before normalization so both
+    engines normalize identical doubles (hybrid.minmax_fuse contract)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.hybrid import hybrid_minmax_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    emb = _emb(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    tq = corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "content")
+    res = hybrid_minmax_topk(idx, emb, tq, _equeries(emb), k=10, depth=20,
+                             alpha=0.5)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("fused", 6).alias("fused"), "n_lists")
+
+
+def _hybrid_minmax_sql(k: int = 10, depth: int = 20, alpha: float = 0.5,
+                       n_queries: int = 5, k1: float = 1.2,
+                       b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_hybrid_minmax` — candidate CTEs as in
+    ``_hybrid_rrf_sql``, then per-(query, list) min/max over the rounded
+    scores of the top-``depth`` set and the weighted-sum combine.  The
+    normalization chain ((s − lo)/(hi − lo), 1.0 on a constant list) is the
+    identical IEEE expression :func:`hybrid.minmax_fuse` evaluates."""
+    cos = _osql._cos("vq.q_emb", "e.embedding")
+    return f"""
+WITH {_BASE_CTES},
+hq AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id < {n_queries}),
+hqterm AS (
+  SELECT query_id, hq.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM hq JOIN vocab ON hq.term = vocab.term CROSS JOIN stats
+),
+sparse_scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM hqterm
+  JOIN tf ON hqterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id, round(score, 6) AS s,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM sparse_scored
+),
+vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+dense_scored AS (
+  SELECT vq.query_id, e.vec_id AS doc_id, {cos} AS cos
+  FROM vq CROSS JOIN embeddings e
+),
+dense AS (
+  SELECT query_id, doc_id, round(cos, 6) AS s,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, doc_id ASC) AS rank
+  FROM dense_scored
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         {alpha} * (CASE WHEN max(s) OVER (PARTITION BY query_id)
+                            = min(s) OVER (PARTITION BY query_id) THEN 1.0
+                    ELSE (s - min(s) OVER (PARTITION BY query_id))
+                         / (max(s) OVER (PARTITION BY query_id)
+                            - min(s) OVER (PARTITION BY query_id)) END) AS c
+  FROM sparse WHERE rank <= {depth}
+  UNION ALL
+  SELECT query_id, doc_id,
+         {1.0 - alpha} * (CASE WHEN max(s) OVER (PARTITION BY query_id)
+                                  = min(s) OVER (PARTITION BY query_id) THEN 1.0
+                          ELSE (s - min(s) OVER (PARTITION BY query_id))
+                               / (max(s) OVER (PARTITION BY query_id)
+                                  - min(s) OVER (PARTITION BY query_id)) END) AS c
+  FROM dense WHERE rank <= {depth}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS fused, CAST(count(*) AS BIGINT) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fused, n_lists,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(fused, 9) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(fused, 6) AS fused, n_lists
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _hybrid_rrf_sql(k: int = 10, depth: int = 20, rrf_k: int = 60,
                     n_queries: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of :func:`_q_hybrid_rrf` — BM25 CTE shape from
@@ -1886,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
+        "hybrid_minmax_topk": _q_hybrid_minmax,
         "streaming_bm25_topk": _q_streaming_topk,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
@@ -1973,6 +2071,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "hybrid_rrf_ivf_topk": _hybrid_rrf_ivf_sql(),
         "streaming_bm25_topk": _bm25_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(

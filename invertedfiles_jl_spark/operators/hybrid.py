@@ -64,6 +64,77 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, rrf_k: int = 60,
         "query_id", "rank", "doc_id", "rrf", "n_lists")
 
 
+def minmax_fuse(rankings: list[DataFrame], weights: list[float], k: int = 10,
+                score_cols: list[str] | None = None,
+                score_round: int = 6, rank_round: int = 9) -> DataFrame:
+    """Score-based fusion — per-query min-max normalization + weighted sum
+    (the Elasticsearch/Vespa "normalized linear combination" alternative to
+    :func:`rrf_fuse` when relative score GAPS should matter, not just ranks).
+
+    Each input ranking must carry (query_id, doc_id, score-ish column) with
+    HIGHER = BETTER (callers convert distances to similarities first).  Per
+    (query, list): norm = (s − min)/(max − min) over that query's candidate
+    set, 1.0 when the set has a single score value; fused = Σ w_i · norm_i
+    with a doc absent from a list contributing nothing for it.
+
+    Determinism contract (what makes this value-hashable across engines):
+    input scores are rounded to ``score_round`` BEFORE normalization, so
+    both engines normalize identical doubles through an identical IEEE
+    expression chain; a doc joins ≤ len(rankings) lists and two-double
+    addition is commutative, so with two lists the fused sum is bit-exact
+    regardless of aggregation order (same argument as :func:`rrf_fuse`).
+
+    Scale shape: identical to RRF — inputs are bounded top-depth lists
+    (Q·depth rows), the min/max is a partial-aggregable groupBy over those
+    tiny lists, and the fuse is one shuffle over O(Q·depth·n_lists) rows.
+    """
+    if score_cols is None:
+        score_cols = ["score"] * len(rankings)
+    sides = []
+    for r, w, c in zip(rankings, weights, score_cols):
+        s = r.select("query_id", "doc_id", F.round(F.col(c), score_round).alias("s"))
+        mm = s.groupBy("query_id").agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+        sides.append(
+            s.join(F.broadcast(mm), "query_id").select(
+                "query_id", "doc_id",
+                (
+                    F.lit(float(w))
+                    * F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+                        (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                    )
+                ).alias("contrib"),
+            )
+        )
+    u = reduce(DataFrame.unionByName, sides)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("fused"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    ranked = topk(fused.select("query_id", "doc_id", "fused"), k, "fused",
+                  ascending=False, rank_round=rank_round)
+    return ranked.join(fused.select("query_id", "doc_id", "n_lists"),
+                       ["query_id", "doc_id"]).select(
+        "query_id", "rank", "doc_id", "fused", "n_lists")
+
+
+def hybrid_minmax_topk(index: InvertedIndex, emb: DataFrame,
+                       text_queries: DataFrame, vec_queries: DataFrame,
+                       k: int = 10, depth: int = 20, alpha: float = 0.5,
+                       dense_topk=None) -> DataFrame:
+    """Hybrid top-k under min-max weighted-sum fusion: ``alpha`` weights the
+    BM25 side, ``1 − alpha`` the dense-cosine side.  Same candidate
+    generation as :func:`hybrid_rrf_topk` (bounded top-``depth`` per list,
+    existing scale paths upstream); only the combine differs."""
+    sparse = bm25_topk(index, text_queries, k=depth, rank_round=6)
+    dense_fn = dense_topk or (
+        lambda e, q, kk: brute_force_topk(e, q, k=kk, exclude_self=False, rank_round=6))
+    dense = dense_fn(emb, vec_queries, depth).withColumnRenamed("vec_id", "doc_id")
+    return minmax_fuse(
+        [sparse.select("query_id", "doc_id", "score"),
+         dense.select("query_id", "doc_id", "cos")],
+        weights=[alpha, 1.0 - alpha], k=k, score_cols=["score", "cos"])
+
+
 def hybrid_rrf_topk(index: InvertedIndex, emb: DataFrame,
                     text_queries: DataFrame, vec_queries: DataFrame,
                     k: int = 10, depth: int = 20, rrf_k: int = 60,

@@ -65,3 +65,57 @@ def test_hybrid_self_doc_ranks_first(spark, documents, sf_dir):
         # sparse side: self is somewhere in the top-10 (BM25 does not
         # guarantee self-retrieval at rank 1), contributing 1/61..1/70.
         assert 1 / 61 + 1 / 70 <= top[q]["rrf"] <= 2 / 61
+
+
+# ---------------------------------------------------------------------------
+# minmax_fuse (score-based fusion)
+# ---------------------------------------------------------------------------
+
+from invertedfiles_jl_spark.operators.hybrid import hybrid_minmax_topk, minmax_fuse
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+
+
+def test_minmax_normalizes_per_query_list(spark):
+    # list a: scores 10/5/0 → norms 1.0/0.5/0.0; list b: 2/1 → 1.0/0.0.
+    # alpha=0.5: doc 1 = .5·1 + .5·0 = .5, doc 2 = .5·.5 + .5·1 = .75,
+    # doc 3 = .5·0 = 0 → order 2, 1, 3.
+    a = _scored(spark, [(0, 1, 10.0), (0, 2, 5.0), (0, 3, 0.0)])
+    b = _scored(spark, [(0, 2, 2.0), (0, 1, 1.0)])
+    got = minmax_fuse([a, b], weights=[0.5, 0.5], k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 3]
+    assert got[0]["fused"] == pytest.approx(0.75)
+    assert got[1]["fused"] == pytest.approx(0.5)
+    assert got[2]["fused"] == pytest.approx(0.0)
+    assert got[0]["n_lists"] == 2 and got[2]["n_lists"] == 1
+
+
+def test_minmax_constant_list_norms_to_one(spark):
+    # a single-score list (hi == lo) must contribute its full weight, not NaN
+    a = _scored(spark, [(0, 4, 3.5), (0, 9, 3.5)])
+    got = minmax_fuse([a], weights=[1.0], k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["fused"]) for r in got] == [(4, 1.0), (9, 1.0)]
+
+
+def test_minmax_alpha_one_reduces_to_sparse_order(spark, documents, sf_dir):
+    """alpha=1 zeroes the dense contribution — the fused ranking must equal
+    the BM25 ranking's order (norm is monotone in score)."""
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    idx = build_index(corpus, IndexConfig(weighting="bm25", weight_dtype="double"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tq = corpus.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "content")
+    vq = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    got = hybrid_minmax_topk(idx, emb, tq, vq, k=5, depth=10, alpha=1.0)
+    sparse = bm25_topk(idx, tq, k=10, rank_round=6)
+    want = {(r["query_id"], r["rank"]): r["doc_id"]
+            for r in sparse.filter(F.col("rank") <= 5).collect()}
+    # dense-only docs contribute 0 under alpha=1; restrict to fused docs that
+    # appear in the sparse list (positive fused score)
+    for r in got.filter(F.col("fused") > 0).collect():
+        assert want[(r["query_id"], r["rank"])] == r["doc_id"]

@@ -793,6 +793,64 @@ def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CTX = 128
 
 
+def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with query-time synonym expansion over the fixed thesaurus
+    (SYNONYM_SET): original terms at weight qtf, synonyms at qtf · weight,
+    weights accumulating when expansion lands on a direct query term."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import synonyms_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = synonym_bm25_topk(idx, queries_df(spark), synonyms_df(spark),
+                            k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _synonym_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_synonym_bm25` — the ``_bm25_sql`` shape
+    with qtf replaced by the accumulated expansion weight qw (rounded to
+    9 dp exactly like search.expand_synonyms before it enters scoring)."""
+    from invertedfiles_jl_spark.sources.queries import synonyms_values_sql
+
+    return f"""
+WITH {_BASE_CTES},
+qex AS (
+  SELECT query_id, term, round(sum(qw), 9) AS qw FROM (
+    SELECT query_id, term, CAST(qtf AS DOUBLE) AS qw FROM qt
+    UNION ALL
+    SELECT qt.query_id, syn.syn AS term, qt.qtf * syn.weight AS qw
+    FROM qt JOIN {synonyms_values_sql()} ON qt.term = syn.term
+  ) GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, qex.term, qw,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qex JOIN vocab ON qex.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qw * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard packing manifest (operators/packing.pack_sequences):
     concat-and-cut at ctx=128 tokens in doc_id order, two-level cumsum (no
@@ -1965,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f_topk,
         "prf_bm25_topk": _q_prf_bm25,
         "boosted_bm25_topk": _q_boosted_bm25,
+        "synonym_bm25_topk": _q_synonym_bm25,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -2052,6 +2111,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
         "prf_bm25_topk": _prf_bm25_sql(),
         "boosted_bm25_topk": _boosted_bm25_sql(),
+        "synonym_bm25_topk": _synonym_bm25_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),

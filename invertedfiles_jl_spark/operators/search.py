@@ -575,6 +575,59 @@ def boosted_bm25_topk(index: InvertedIndex, queries: DataFrame,
     return topk(out, k, "score", ascending=False, rank_round=rank_round)
 
 
+def expand_synonyms(queries: DataFrame, synonyms: DataFrame,
+                    cfg: IndexConfig) -> DataFrame:
+    """(query_id, term, term_id, qw) — query terms expanded through a
+    (term, syn, weight) thesaurus: each original term contributes itself at
+    weight qtf plus every synonym at qtf · weight; weights reaching the
+    same term accumulate (rounded to 9 dp so both engines carry identical
+    doubles into scoring regardless of summation order).  Synonyms of
+    absent query terms and synonym targets outside the vocabulary are
+    dropped downstream by the usual inner joins.
+
+    The thesaurus is query-metadata-sized → broadcast; expansion never
+    touches postings, so the extra cost over plain BM25 is only the wider
+    query-term relation (≤ |q| · (1 + fanout) rows per query)."""
+    from invertedfiles_jl_spark.operators.build import term_id_col
+
+    qt = query_terms(queries, cfg).drop("term_id")
+    orig = qt.select("query_id", "term", F.col("qtf").cast("double").alias("qw"))
+    via = qt.join(F.broadcast(synonyms), "term").select(
+        "query_id", F.col("syn").alias("term"),
+        (F.col("qtf") * F.col("weight")).alias("qw"))
+    ex = orig.unionByName(via).groupBy("query_id", "term").agg(
+        F.round(F.sum("qw"), 9).alias("qw"))
+    return ex.withColumn("term_id", term_id_col(F.col("term")))
+
+
+def synonym_bm25_topk(index: InvertedIndex, queries: DataFrame,
+                      synonyms: DataFrame, k: int = 10,
+                      rank_round: int | None = None) -> DataFrame:
+    """BM25 top-k with query-time synonym expansion (Lucene
+    ``SynonymGraphFilter`` analog, weighted):
+
+        score = Σ_term qw · idf · sat_tf,   qw = qtf + Σ_sources qtf_src · w
+
+    Expansion is query-side only — the index is untouched, so one index
+    serves every thesaurus (the standard trade against index-time synonym
+    ingestion, which bakes one thesaurus into the postings).  Plan shape is
+    exactly :func:`bm25_topk` with a wider broadcast query-term relation."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    n = float(index.stats["n_docs"])
+    ex = expand_synonyms(queries, synonyms, index.cfg)
+    qt = index.vocab.select("term_id", "df").join(F.broadcast(ex), "term_id").select(
+        "query_id", "term_id",
+        (
+            F.col("qw")
+            * F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        ).alias("qwi"),
+    )
+    m = _matched(index, qt)
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("qwi") * F.col("weight")).alias("score"))
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
 def prf_bm25_topk(index: InvertedIndex, corpus: DataFrame,
                   queries: DataFrame, k: int = 10, fb_docs: int = 5,
                   fb_terms: int = 5, beta: float = 0.5,

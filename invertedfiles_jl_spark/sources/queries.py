@@ -125,6 +125,31 @@ def fielded_values_sql() -> str:
     return f"(VALUES {rows}) AS fq(query_id, content)"
 
 
+# Fixed synonym thesaurus (query-time expansion).  Mix: a symmetric pair
+# (merge↔join), a full-weight mapping, a down-weighted mapping whose target
+# is ALSO a direct query term in "scan scan filter" (exercises qw
+# accumulation), a rare-term mapping, and a mapping to an out-of-vocabulary
+# term (must contribute nothing — vocab inner join drops it).
+SYNONYM_SET: list[tuple[str, str, float]] = [
+    ("merge", "join", 0.8),
+    ("join", "merge", 0.8),
+    ("window", "table", 1.0),
+    ("scan", "filter", 0.6),
+    ("dup", "row", 0.5),
+    ("customer", "zzznosuchterm", 0.9),
+]
+
+
+def synonyms_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(SYNONYM_SET, "term string, syn string, weight double")
+
+
+def synonyms_values_sql() -> str:
+    rows = ", ".join(f"('{t}', '{s}', CAST({w} AS DOUBLE))"
+                     for t, s, w in SYNONYM_SET)
+    return f"(VALUES {rows}) AS syn(term, syn, weight)"
+
+
 # Fixed boolean-query set (must / should / must_not clauses).  Mix: must
 # with should boosters, pure conjunction, should-only with an exclusion,
 # an OOV must (zero rows by contract), and a hot-term exclusion.

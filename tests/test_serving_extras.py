@@ -359,3 +359,84 @@ def test_significant_terms_match_python(documents, docs_pandas, spark):
             gt, gf, gb, gj = got[(lang, rank)]
             assert (gt, gf, gb) == (t, f, b_), (lang, rank)
             assert math.isclose(gj, round(j, 6), abs_tol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# synonym expansion
+# ---------------------------------------------------------------------------
+
+
+def test_synonym_empty_thesaurus_is_identity(bm25_index, spark):
+    """With no synonym rows, expansion must reproduce bm25_topk exactly
+    (qw = qtf cast to double, same scoring chain)."""
+    from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+
+    q = queries_df(spark)
+    want = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(bm25_index, q, k=10, rank_round=6).collect()]
+    empty = spark.createDataFrame([], "term string, syn string, weight double")
+    got = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+           for r in synonym_bm25_topk(bm25_index, q, empty, k=10,
+                                      rank_round=6).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_synonym_matches_python(bm25_index, texts, spark):
+    """Full expansion semantics recomputed in pure python: qw accumulates
+    direct qtf plus qtf·weight through every thesaurus edge, then the
+    standard BM25 sum."""
+    from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import SYNONYM_SET, synonyms_df
+
+    got = synonym_bm25_topk(bm25_index, queries_df(spark),
+                            synonyms_df(spark), k=10, rank_round=6).collect()
+
+    tf = {d: Counter(t.lower().split()) for d, t in texts.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(tf)
+    avgdl = sum(sum(c.values()) for c in tf.values()) / n
+    edges = {}
+    for t, s, w in SYNONYM_SET:
+        edges.setdefault(t, []).append((s, w))
+    for qid, qtext in QUERY_SET:
+        qtf = Counter(qtext.split())
+        qw: dict = {}
+        for t, c in qtf.items():
+            qw[t] = qw.get(t, 0.0) + float(c)
+            for s, w in edges.get(t, []):
+                qw[s] = qw.get(s, 0.0) + c * w
+        scores = {}
+        for d, c in tf.items():
+            s = 0.0
+            dl = sum(c.values())
+            for t, weight in qw.items():
+                if t in c:
+                    idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    sat = c[t] * 2.2 / (c[t] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    s += round(weight, 9) * idf * sat
+            if s > 0.0:
+                scores[d] = s
+        want = sorted(scores.items(),
+                      key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+        mine = [(r["doc_id"], r["score"])
+                for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == qid]
+        assert [d for d, _ in want] == [d for d, _ in mine]
+        for (d, ws), (_, gs) in zip(want, mine):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_synonym_reaches_docs_plain_bm25_misses(bm25_index, texts, spark):
+    """A query matching only via expansion must retrieve docs that contain
+    the synonym but NOT the original term ("window" → "table", weight 1)."""
+    from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import synonyms_df
+
+    q = spark.createDataFrame([(1, "window")], "query_id long, content string")
+    got = synonym_bm25_topk(bm25_index, q, synonyms_df(spark), k=10_000,
+                            rank_round=6).collect()
+    docs = {r["doc_id"] for r in got}
+    only_table = [d for d, t in texts.items()
+                  if "table" in t.lower().split() and "window" not in t.lower().split()]
+    assert only_table, "fixture needs table-only docs"
+    assert set(only_table) <= docs

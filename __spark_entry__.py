@@ -793,6 +793,60 @@ def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CTX = 128
 
 
+def _q_collapsed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed BM25: best doc per (query, source), top-10 of the
+    collapsed candidates — one result per source group."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import collapse_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    res = collapse_topk(idx, queries_df(spark), meta, "source", k=10,
+                        rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"), "group_key")
+
+
+def _collapsed_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_collapsed_bm25` — the ``_bm25_sql`` scoring
+    CTE, a per-(query, source) best-doc window, then the final top-k window,
+    both on the shared (round(score, 6) desc, doc_id asc) key."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+grouped AS (
+  SELECT query_id, scored.doc_id, score, d.source AS group_key,
+         row_number() OVER (PARTITION BY query_id, d.source
+              ORDER BY round(score, 6) DESC, scored.doc_id ASC) AS rn
+  FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, group_key,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM grouped WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score, group_key
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with query-time synonym expansion over the fixed thesaurus
     (SYNONYM_SET): original terms at weight qtf, synonyms at qtf · weight,
@@ -2024,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_bm25_topk": _q_prf_bm25,
         "boosted_bm25_topk": _q_boosted_bm25,
         "synonym_bm25_topk": _q_synonym_bm25,
+        "collapsed_bm25_topk": _q_collapsed_bm25,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -2112,6 +2167,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "prf_bm25_topk": _prf_bm25_sql(),
         "boosted_bm25_topk": _boosted_bm25_sql(),
         "synonym_bm25_topk": _synonym_bm25_sql(),
+        "collapsed_bm25_topk": _collapsed_bm25_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),

@@ -575,6 +575,44 @@ def boosted_bm25_topk(index: InvertedIndex, queries: DataFrame,
     return topk(out, k, "score", ascending=False, rank_round=rank_round)
 
 
+def collapse_topk(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
+                  group_col: str, k: int = 10,
+                  rank_round: int | None = None) -> DataFrame:
+    """Field-collapsed BM25 top-k (Elasticsearch ``collapse`` analog): at
+    most ONE doc — the best-scoring — per (query, group), then the usual
+    bounded top-k over the collapsed candidates.  The diversification
+    primitive for result pages that must not be swamped by one repo /
+    source / near-dup cluster.
+
+    Returns (query_id, rank, doc_id, score, group_key).  Both the collapse
+    window and the final window rank on the repo-wide identity
+    (round(score, rank_round) desc, doc_id asc), so collapsed output is
+    deterministic and a group's representative is stable across engines.
+
+    Plan shape: scoring is :func:`bm25_topk`'s aggregation unchanged; the
+    group key joins onto CANDIDATE rows only (Q × matched docs — a
+    doc-keyed dimension lookup, AQE-sized, never touching postings), and
+    the collapse window shuffles those same candidate rows keyed
+    (query_id, group) — strictly less traffic than the uncollapsed plan's
+    top-k window at equal candidate count, with Spark's WindowGroupLimit
+    pushdown bounding both windows."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    scored = _bm25_scored(index, queries).drop("n_matched")
+    g = scored.join(meta.select("doc_id", F.col(group_col).alias("group_key")),
+                    "doc_id")
+    key = (F.round(F.col("score"), rank_round) if rank_round is not None
+           else F.col("score"))
+    w = Window.partitionBy("query_id", "group_key").orderBy(
+        key.desc(), F.col("doc_id").asc())
+    best = (g.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    ranked = topk(best.select("query_id", "doc_id", "score"), k, "score",
+                  ascending=False, rank_round=rank_round)
+    return ranked.join(best.select("query_id", "doc_id", "group_key"),
+                       ["query_id", "doc_id"]).select(
+        "query_id", "rank", "doc_id", "score", "group_key")
+
+
 def expand_synonyms(queries: DataFrame, synonyms: DataFrame,
                     cfg: IndexConfig) -> DataFrame:
     """(query_id, term, term_id, qw) — query terms expanded through a

@@ -440,3 +440,42 @@ def test_synonym_reaches_docs_plain_bm25_misses(bm25_index, texts, spark):
                   if "table" in t.lower().split() and "window" not in t.lower().split()]
     assert only_table, "fixture needs table-only docs"
     assert set(only_table) <= docs
+
+
+# ---------------------------------------------------------------------------
+# field collapsing
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_one_doc_per_group(bm25_index, documents, spark):
+    from invertedfiles_jl_spark.operators.search import collapse_topk
+
+    meta = documents.select("doc_id", "source")
+    got = collapse_topk(bm25_index, queries_df(spark), meta, "source",
+                        k=100, rank_round=6).collect()
+    seen = set()
+    for r in got:
+        key = (r["query_id"], r["group_key"])
+        assert key not in seen, "two docs from one group in one query"
+        seen.add(key)
+
+
+def test_collapse_keeps_each_groups_best(bm25_index, documents, texts, spark):
+    """The collapsed representative must be the group's best-ranked doc of
+    the UNCOLLAPSED ranking, and collapsed ranks must preserve that order."""
+    from invertedfiles_jl_spark.operators.search import collapse_topk
+
+    src = {r["doc_id"]: r["source"]
+           for r in documents.select("doc_id", "source").collect()}
+    full = bm25_topk(bm25_index, queries_df(spark), k=10_000,
+                     rank_round=6).collect()
+    best: dict = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        key = (r["query_id"], src[r["doc_id"]])
+        best.setdefault(key, r["doc_id"])
+    meta = documents.select("doc_id", "source")
+    got = collapse_topk(bm25_index, queries_df(spark), meta, "source",
+                        k=10_000, rank_round=6).collect()
+    assert len(got) == len(best)
+    for r in got:
+        assert best[(r["query_id"], r["group_key"])] == r["doc_id"]

@@ -793,6 +793,20 @@ def _q_prf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CTX = 128
 
 
+def _q_auto_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the adaptive plan router (plans/router.py): the batch's
+    metadata stats pick Plan A / WAND / sharded; output is rank-identical to
+    bm25_topk whichever plan runs, so the oracle is the plain BM25 SQL."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.plans.router import auto_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = auto_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
 def _q_collapsed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-collapsed BM25: best doc per (query, source), top-10 of the
     collapsed candidates — one result per source group."""
@@ -2079,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_bm25_topk": _q_boosted_bm25,
         "synonym_bm25_topk": _q_synonym_bm25,
         "collapsed_bm25_topk": _q_collapsed_bm25,
+        "auto_bm25_topk": _q_auto_bm25,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -2168,6 +2183,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "boosted_bm25_topk": _boosted_bm25_sql(),
         "synonym_bm25_topk": _synonym_bm25_sql(),
         "collapsed_bm25_topk": _collapsed_bm25_sql(),
+        "auto_bm25_topk": _bm25_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),

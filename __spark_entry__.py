@@ -1894,6 +1894,35 @@ FROM ranked WHERE facet_rank <= {k}
 """
 
 
+def _q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram facet over matched candidates: fixed-width (200)
+    buckets of documents.n_chars per query."""
+    from invertedfiles_jl_spark.operators.search import facet_histogram
+
+    idx = _index(spark, sf_dir, "bm25")
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+    return facet_histogram(idx, queries_df(spark), meta, "n_chars", width=200)
+
+
+def _facet_histogram_sql(width: int = 200) -> str:
+    """DuckDB mirror of :func:`_q_facet_histogram` — distinct matched
+    candidates, floor(n_chars / width) · width buckets, count per bucket."""
+    return f"""
+WITH {_BASE_CTES},
+cand AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM qt JOIN tf ON qt.term = tf.term
+),
+m AS (
+  SELECT query_id, CAST(floor(d.n_chars / {width}) * {width} AS BIGINT) AS bucket_lo
+  FROM cand JOIN documents d ON cand.doc_id = d.doc_id
+)
+SELECT query_id, bucket_lo, CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY query_id, bucket_lo
+"""
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this: each source doc's top-4 tf-idf terms (qtf=1 each)
     BM25-rank the rest of the corpus; source excluded."""
@@ -2094,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25_topk": _q_synonym_bm25,
         "collapsed_bm25_topk": _q_collapsed_bm25,
         "auto_bm25_topk": _q_auto_bm25,
+        "facet_histogram_chars": _q_facet_histogram,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "doc_keywords": _q_doc_keywords,
@@ -2184,6 +2214,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "synonym_bm25_topk": _synonym_bm25_sql(),
         "collapsed_bm25_topk": _collapsed_bm25_sql(),
         "auto_bm25_topk": _bm25_sql(),
+        "facet_histogram_chars": _facet_histogram_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),

@@ -484,6 +484,30 @@ def facet_counts(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
     )
 
 
+def facet_histogram(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
+                    value_col: str, width: int) -> DataFrame:
+    """Numeric histogram facet (Elasticsearch ``histogram`` aggregation
+    analog): fixed-width value buckets over every matched candidate doc's
+    ``value_col``.  Returns one row per non-empty bucket —
+    (query_id, bucket_lo, n_docs), bucket_lo = floor(value / width) · width,
+    ordered deterministically by the driver-side sort contract.
+
+    Same candidate relation and scale shape as :func:`facet_counts`
+    (distinct matched docs ⋈ doc-keyed metadata, AQE-sized join); the
+    bucket key is a pure column expression, and per-query output is bounded
+    by the value range / width, not the corpus."""
+    qt = query_terms(queries, index.cfg).select(
+        "query_id", "term_id").distinct()
+    cand = _matched(index, qt).select("query_id", "doc_id").distinct()
+    m = cand.join(meta.select("doc_id", F.col(value_col).alias("v")), "doc_id")
+    bucket = (F.floor(F.col("v") / width) * width).cast("long")
+    return (
+        m.select("query_id", bucket.alias("bucket_lo"))
+        .groupBy("query_id", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def doc_term_profile(index: InvertedIndex, corpus: DataFrame,
                      source_ids: DataFrame, n_terms: int = 5,
                      sel_round: int = 6,

@@ -479,3 +479,27 @@ def test_collapse_keeps_each_groups_best(bm25_index, documents, texts, spark):
     assert len(got) == len(best)
     for r in got:
         assert best[(r["query_id"], r["group_key"])] == r["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# numeric histogram facet
+# ---------------------------------------------------------------------------
+
+
+def test_facet_histogram_matches_python(bm25_index, documents, texts, spark):
+    from invertedfiles_jl_spark.operators.search import facet_histogram
+
+    n_chars = {r["doc_id"]: r["n_chars"] for r in
+               documents.select("doc_id", "n_chars").collect()}
+    got = {}
+    meta = documents.select("doc_id", "n_chars")
+    for r in facet_histogram(bm25_index, queries_df(spark), meta,
+                             "n_chars", width=200).collect():
+        got[(r["query_id"], r["bucket_lo"])] = r["n_docs"]
+    want = Counter()
+    for qid, qtext in QUERY_SET:
+        qterms = set(qtext.lower().split())
+        for d, t in texts.items():
+            if qterms & set(t.lower().split()):
+                want[(qid, (n_chars[d] // 200) * 200)] += 1
+    assert got == dict(want)

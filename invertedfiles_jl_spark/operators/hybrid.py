@@ -59,8 +59,10 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, rrf_k: int = 60,
     )
     ranked = topk(fused.select("query_id", "doc_id", "rrf"), k, "rrf",
                   ascending=False, rank_round=9)
-    return ranked.join(fused.select("query_id", "doc_id", "n_lists"),
-                       ["query_id", "doc_id"]).select(
+    # ranked is bounded Q·k → broadcast into the n_lists recovery join
+    return F.broadcast(ranked).join(
+        fused.select("query_id", "doc_id", "n_lists"),
+        ["query_id", "doc_id"]).select(
         "query_id", "rank", "doc_id", "rrf", "n_lists")
 
 
@@ -112,8 +114,10 @@ def minmax_fuse(rankings: list[DataFrame], weights: list[float], k: int = 10,
     )
     ranked = topk(fused.select("query_id", "doc_id", "fused"), k, "fused",
                   ascending=False, rank_round=rank_round)
-    return ranked.join(fused.select("query_id", "doc_id", "n_lists"),
-                       ["query_id", "doc_id"]).select(
+    # ranked is bounded Q·k → broadcast into the n_lists recovery join
+    return F.broadcast(ranked).join(
+        fused.select("query_id", "doc_id", "n_lists"),
+        ["query_id", "doc_id"]).select(
         "query_id", "rank", "doc_id", "fused", "n_lists")
 
 

@@ -632,8 +632,10 @@ def collapse_topk(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
             .filter(F.col("rn") == 1).drop("rn"))
     ranked = topk(best.select("query_id", "doc_id", "score"), k, "score",
                   ascending=False, rank_round=rank_round)
-    return ranked.join(best.select("query_id", "doc_id", "group_key"),
-                       ["query_id", "doc_id"]).select(
+    # recover the group key: ranked is bounded Q·k by construction → broadcast
+    return F.broadcast(ranked).join(
+        best.select("query_id", "doc_id", "group_key"),
+        ["query_id", "doc_id"]).select(
         "query_id", "rank", "doc_id", "score", "group_key")
 
 

@@ -298,3 +298,38 @@ def test_pack_sequences_no_single_partition_exchange(spark, documents):
     # data path; the totals .collect() inside global_starts already ran
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_synonym_collapse_minmax_histogram_router_no_smj(spark, served,
+                                                         documents):
+    """The round's new serving plans must stay SortMergeJoin-free at
+    query-batch scale: the thesaurus, group-key dimension, per-query
+    extrema, histogram metadata, and routed query relation all broadcast
+    (or AQE-broadcast) at this scale."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.hybrid import minmax_fuse
+    from invertedfiles_jl_spark.operators.search import (
+        collapse_topk,
+        facet_histogram,
+        synonym_bm25_topk,
+    )
+    from invertedfiles_jl_spark.plans.router import auto_topk
+    from invertedfiles_jl_spark.sources.queries import synonyms_df
+
+    idx, _ = served
+    q = queries_df(spark)
+    a = bm25_topk(idx, q, k=20, rank_round=6)
+    plans = [
+        synonym_bm25_topk(idx, q, synonyms_df(spark), k=10, rank_round=6),
+        collapse_topk(idx, q, documents.select("doc_id", "source"),
+                      "source", k=10, rank_round=6),
+        facet_histogram(idx, q, documents.select("doc_id", "n_chars"),
+                        "n_chars", width=200),
+        minmax_fuse([a, a.select("query_id", "doc_id", "score")],
+                    weights=[0.5, 0.5], k=10),
+        auto_topk(idx, q, k=10, rank_round=6),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan

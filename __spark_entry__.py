@@ -1128,6 +1128,98 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over dense candidates: top-20 cosine
+    candidates per query vector, greedy λ=0.7 marginal-relevance selection
+    of 5 — rank 1 carries raw relevance, later ranks the marginal score."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.rerank import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    res = mmr_rerank(emb, _equeries(emb), k=5, depth=20, lam=0.7)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("mmr", 6).alias("mmr"))
+
+
+def _mmr_sql(k: int = 5, depth: int = 20, lam: float = 0.7,
+             n_queries: int = 5) -> str:
+    """DuckDB mirror of :func:`_q_mmr_rerank` — candidate CTE as in
+    ``ann_bruteforce_sql`` (self included), pairwise sims with the shared
+    cosine expression, then the greedy UNROLLED into k chained CTE stages
+    (each one window + one max-over-selected join; no recursion).  The
+    arithmetic (λ·rel − (1−λ)·maxsim over 6-dp-rounded inputs, rank on
+    round(mmr, 9) desc / doc_id asc) is token-identical to the kernel."""
+    cos_qc = _osql._cos("q.q_emb", "e.embedding")
+    cos_ab = _osql._cos("e1.embedding", "e2.embedding")
+    one_minus = repr(1.0 - lam)
+    parts = [f"""
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, {cos_qc} AS cos
+  FROM q CROSS JOIN embeddings e
+),
+cr AS (
+  SELECT query_id, doc_id, round(cos, 6) AS rel,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, doc_id ASC) AS rn
+  FROM scored
+),
+cand AS (SELECT query_id, doc_id, rel FROM cr WHERE rn <= {depth}),
+cpair AS (
+  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         round({cos_ab}, 6) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id < c2.doc_id
+  JOIN embeddings e1 ON e1.vec_id = c1.doc_id
+  JOIN embeddings e2 ON e2.vec_id = c2.doc_id
+),
+pair AS (
+  SELECT query_id, a, b, sim FROM cpair
+  UNION ALL
+  SELECT query_id, b AS a, a AS b, sim FROM cpair
+),
+pick1 AS (
+  SELECT query_id, doc_id, rel AS mmr,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(rel, 9) DESC, doc_id ASC) AS rn
+  FROM cand
+),
+sel1 AS (SELECT query_id, doc_id FROM pick1 WHERE rn = 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+m{i} AS (
+  SELECT c.query_id, c.doc_id,
+         {lam} * c.rel - {one_minus} * max(p.sim) AS mmr
+  FROM cand c
+  JOIN sel{i - 1} s ON s.query_id = c.query_id
+  JOIN pair p ON p.query_id = c.query_id AND p.a = c.doc_id AND p.b = s.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1} sx
+                         WHERE sx.query_id = c.query_id)
+  GROUP BY c.query_id, c.doc_id, c.rel
+),
+pick{i} AS (
+  SELECT query_id, doc_id, mmr,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(mmr, 9) DESC, doc_id ASC) AS rn
+  FROM m{i}
+),
+sel{i} AS (
+  SELECT query_id, doc_id FROM sel{i - 1}
+  UNION ALL
+  SELECT query_id, doc_id FROM pick{i} WHERE rn = 1
+)""")
+    outs = ["SELECT query_id, 1 AS r, doc_id, mmr FROM pick1 WHERE rn = 1"]
+    outs += [f"SELECT query_id, {i} AS r, doc_id, mmr FROM pick{i} WHERE rn = 1"
+             for i in range(2, k + 1)]
+    union = "\n  UNION ALL\n  ".join(outs)
+    return f"""
+WITH {','.join(parts)}
+SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id, round(mmr, 6) AS mmr
+FROM ({union})
+"""
+
+
 def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming top-k serve (applyInPandasWithState), driven to
     completion with availableNow over the corpus split into two micro-
@@ -2143,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
+        "mmr_rerank": _q_mmr_rerank,
         "streaming_bm25_topk": _q_streaming_topk,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
@@ -2235,6 +2328,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_ivf": _osql.ann_ivf_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
+        "mmr_rerank": _mmr_sql(),
         "hybrid_rrf_ivf_topk": _hybrid_rrf_ivf_sql(),
         "streaming_bm25_topk": _bm25_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(

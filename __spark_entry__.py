@@ -37,6 +37,7 @@ from invertedfiles_jl_spark.sources.queries import (
     PHRASE_SET,
     PREFIX_SET,
     QUERY_SET,
+    REGEX_SET as _REGEX_SET,
     WILDCARD_SET,
     queries_df,
     queries_values_sql,
@@ -681,6 +682,43 @@ def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return wildcard_topk(_index(spark, sf_dir, "bm25"), wildcards_df(spark),
                          k=10)
+
+
+def _q_regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term search (operators/search.regex_topk): whole-term regular
+    expressions expanded over the vocab (RLIKE theta-join), rank by
+    distinct matching terms per doc.  Fixture mixes wildcard/alternation/
+    class/quantifier/OOV patterns (sources/queries REGEX_SET)."""
+    from invertedfiles_jl_spark.operators.search import regex_topk
+    from invertedfiles_jl_spark.sources.queries import regexes_df
+
+    return regex_topk(_index(spark, sf_dir, "bm25"), regexes_df(spark), k=10)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward doc view for the first 5 docs: every distinct term with
+    (tf, df, tfidf) — the getcontainer/TermVectors analog."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import term_vectors
+
+    idx = _index(spark, sf_dir, "bm25")
+    ids = spark.range(5).select(F.col("id").alias("doc_id"))
+    res = term_vectors(idx, _corpus(spark, sf_dir), ids)
+    return res.select("doc_id", "term", "tf", "df",
+                      F.round("tfidf", 6).alias("tfidf"))
+
+
+def _term_vectors_sql(n_docs: int = 5) -> str:
+    """DuckDB mirror of :func:`_q_term_vectors`: the shared tf/vocab CTEs
+    restricted to the requested ids, tfidf with the engine's idf form."""
+    return f"""
+WITH {_BASE_CTES}
+SELECT tf.doc_id, tf.term, tf.tf, vocab.df,
+       round(tf.tf * ln(1.0 + (n_docs - vocab.df + 0.5) / (vocab.df + 0.5)), 6) AS tfidf
+FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN stats
+WHERE tf.doc_id < {n_docs}
+"""
 
 
 def _q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
+        "regex_topk": _q_regex_topk,
+        "term_vectors": _q_term_vectors,
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
@@ -2299,6 +2339,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "near_dup_clusters": _osql.near_dup_clusters_sql(),
         "prefix_topk": _osql.prefix_topk_sql(PREFIX_SET),
         "wildcard_topk": _osql.wildcard_topk_sql(WILDCARD_SET),
+        "regex_topk": _osql.regex_topk_sql(_REGEX_SET),
+        "term_vectors": _term_vectors_sql(),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),

@@ -367,6 +367,35 @@ def wildcard_topk(index: InvertedIndex, patterns: DataFrame, k: int = 10,
     return topk(scored, k, "n_terms", ascending=False)
 
 
+def expand_regex(index: InvertedIndex, patterns: DataFrame,
+                 pattern_col: str = "pattern") -> DataFrame:
+    """(query_id, term_id) — every vocab term matching each query's regular
+    expression (Lucene ``RegexpQuery`` analog; the pattern must match the
+    WHOLE term, as there).  Same broadcast theta-join shape as
+    :func:`expand_wildcards`: the tiny pattern relation broadcasts over the
+    vocab dimension — an honest vocab scan, which is the SMALL dimension.
+    Anchoring is explicit (``^…$``) so Spark's partial-match ``rlike`` and
+    the oracle's ``regexp_full_match`` agree."""
+    q = patterns.select(
+        "query_id", F.concat(F.lit("^(?:"), F.col(pattern_col), F.lit(")$")
+                             ).alias("rx"))
+    return index.vocab.select("term", "term_id").join(
+        F.broadcast(q), F.expr("term RLIKE rx")
+    ).select("query_id", "term_id")
+
+
+def regex_topk(index: InvertedIndex, patterns: DataFrame, k: int = 10,
+               pattern_col: str = "pattern") -> DataFrame:
+    """Regex term search top-k: docs ranked by distinct matching vocab
+    terms contained (n_terms desc, doc_id asc) — the weighting-independent
+    contract shared with :func:`prefix_topk` / :func:`wildcard_topk` /
+    :func:`fuzzy_topk`.  A pattern matching no vocab term yields zero rows
+    (empty-Q contract)."""
+    scored = _distinct_term_matches(index, expand_regex(index, patterns,
+                                                        pattern_col))
+    return topk(scored, k, "n_terms", ascending=False)
+
+
 def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,
                  term_col: str = "qterm") -> DataFrame:
     """(query_id, term_id) — every vocab term within ``max_dist`` edit
@@ -547,6 +576,35 @@ def doc_term_profile(index: InvertedIndex, corpus: DataFrame,
         prof.withColumn("trank", F.row_number().over(w))
         .filter(F.col("trank") <= n_terms)
         .select("query_id", "term_id", "idf")
+    )
+
+
+def term_vectors(index: InvertedIndex, corpus: DataFrame,
+                 doc_ids: DataFrame, content_col: str = "content") -> DataFrame:
+    """Forward doc view (Lucene ``TermVectors`` / the reference's
+    per-object container, /root/reference/src/invfile.jl:22-37): every
+    distinct term of each requested doc with (tf, df, tfidf),
+    tfidf = tf · ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape mirrors :func:`doc_term_profile`: the requested id set is
+    query-batch sized → broadcast left-semi against the corpus (one
+    map-side pass), tokenize + tf over the requested docs ONLY, df joins
+    in from vocab on term_id.  Postings are never exploded — the forward
+    path is the cheap direction for per-doc views."""
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
+    n = float(index.stats["n_docs"])
+    src = corpus.join(F.broadcast(doc_ids.select("doc_id")), "doc_id",
+                      "left_semi")
+    t = exploded_terms(src, "doc_id", "doc_id", content_col, index.cfg)
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("term_id", term_id_col(F.col("term")))
+    return index.vocab.select("term_id", "df").join(tf, "term_id").select(
+        "doc_id", "term", "tf", "df",
+        (
+            F.col("tf")
+            * F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        ).alias("tfidf"),
     )
 
 

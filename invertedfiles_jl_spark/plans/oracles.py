@@ -314,6 +314,33 @@ SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
 """
 
 
+def regex_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
+    """Regex top-k oracle: the wildcard oracle's distinct (doc, term)
+    relation matched on ``regexp_full_match`` — whole-term anchoring, the
+    same semantics the engine gets from its explicit ``^(?:…)$`` wrap."""
+    rows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{p}')" for qid, p in patterns)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_T}) AS term FROM documents
+),
+q(query_id, pattern) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, dt.doc_id,
+         CAST(count(DISTINCT dt.term) AS BIGINT) AS n_terms
+  FROM q JOIN dt ON regexp_full_match(dt.term, q.pattern)
+  GROUP BY q.query_id, dt.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_terms DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
+"""
+
+
 def fuzzy_topk_sql(fuzzy: list[tuple[int, str]], k: int = 10,
                    max_dist: int = 1) -> str:
     """Fuzzy top-k oracle: DuckDB's classic ``levenshtein`` mirrors

@@ -125,6 +125,24 @@ def fielded_values_sql() -> str:
     return f"(VALUES {rows}) AS fq(query_id, content)"
 
 
+# Fixed regex-query set (whole-term regular-expression search).  Patterns
+# stay inside the Java-regex ∩ RE2 common subset (literals, classes,
+# quantifiers, alternation — no backrefs/lookaround) so Spark RLIKE and the
+# DuckDB oracle agree.  Mix: single-wildcard, alternation of exact terms,
+# suffix class, multi-quantifier, OOV.
+REGEX_SET: list[tuple[int, str]] = [
+    (1, "sc.n"),         # scan
+    (2, "(merge|join)"),  # alternation of exact terms
+    (3, "[a-z]*ue"),     # suffix: value, ...
+    (4, "s.*a.*"),       # multi-quantifier: scan, spark, stream, ...
+    (5, "zzz.*"),        # OOV
+]
+
+
+def regexes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(REGEX_SET, "query_id long, pattern string")
+
+
 # Fixed synonym thesaurus (query-time expansion).  Mix: a symmetric pair
 # (merge↔join), a full-weight mapping, a down-weighted mapping whose target
 # is ALSO a direct query term in "scan scan filter" (exercises qw

@@ -131,3 +131,66 @@ def test_explain_factors_match_python(bm25_index, texts, spark):
         assert math.isclose(r["sat_tf"], sat, rel_tol=1e-9)
         assert math.isclose(r["idf"], idf, rel_tol=1e-9)
         assert math.isclose(r["contrib"], r["qtf"] * idf * sat, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# regex term search
+# ---------------------------------------------------------------------------
+
+
+def test_regex_matches_python(bm25_index, texts, spark):
+    import re
+
+    from invertedfiles_jl_spark.operators.search import regex_topk
+    from invertedfiles_jl_spark.sources.queries import REGEX_SET, regexes_df
+
+    got = {}
+    for r in regex_topk(bm25_index, regexes_df(spark), k=10_000).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["n_terms"]
+    for qid, pat in REGEX_SET:
+        rx = re.compile(pat)
+        want = {}
+        for d, t in texts.items():
+            n = len({w for w in set(t.lower().split()) if rx.fullmatch(w)})
+            if n:
+                want[d] = n
+        assert got.get(qid, {}) == want, f"pattern {pat!r}"
+
+
+def test_regex_oov_yields_zero_rows(bm25_index, spark):
+    from invertedfiles_jl_spark.operators.search import regex_topk
+
+    q = spark.createDataFrame([(1, "zzz.*")], "query_id long, pattern string")
+    assert regex_topk(bm25_index, q, k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# term vectors (forward doc view)
+# ---------------------------------------------------------------------------
+
+
+def test_term_vectors_match_python(bm25_index, corpus, texts, spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import term_vectors
+
+    ids = sorted(texts)[:6]
+    src = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+           for r in term_vectors(bm25_index, corpus, src).collect()}
+    tf = {d: Counter(t.lower().split()) for d, t in texts.items()}
+    df = Counter(t for c in tf.values() for t in set(c))
+    n = len(tf)
+    want = {}
+    for d in ids:
+        for t, c in tf[d].items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            want[(d, t)] = (c, df[t], c * idf)
+    assert set(got) == set(want)
+    for key, (wtf, wdf, wtfidf) in want.items():
+        gtf, gdf, gtfidf = got[key]
+        assert (gtf, gdf) == (wtf, wdf)
+        assert gtfidf == pytest.approx(wtfidf, abs=1e-9)

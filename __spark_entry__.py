@@ -695,6 +695,37 @@ def _q_regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regex_topk(_index(spark, sf_dir, "bm25"), regexes_df(spark), k=10)
 
 
+def _q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (operators/trigram.py): candidates
+    from the rarest needle trigrams' posting lists, verified exact against
+    the text; n_occ = non-overlapping occurrence count."""
+    from invertedfiles_jl_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+    from invertedfiles_jl_spark.sources.queries import substrings_df
+
+    ti = build_trigram_index(_corpus(spark, sf_dir))
+    return substring_search(ti, substrings_df(spark))
+
+
+def _substring_sql() -> str:
+    """DuckDB mirror of :func:`_q_substring_search` — the trigram index is
+    pure acceleration, so the oracle is the substring semantics itself:
+    contains + the shared left-to-right replace occurrence count."""
+    from invertedfiles_jl_spark.sources.queries import SUBSTRING_SET
+
+    rows = ", ".join(f"(CAST({qid} AS BIGINT), '{s}')"
+                     for qid, s in SUBSTRING_SET)
+    return f"""
+WITH q(query_id, needle) AS (VALUES {rows})
+SELECT q.query_id, d.doc_id,
+       CAST((length(lower(d.text)) - length(replace(lower(d.text), lower(q.needle), '')))
+            / length(q.needle) AS BIGINT) AS n_occ
+FROM q JOIN documents d ON contains(lower(d.text), lower(q.needle))
+"""
+
+
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward doc view for the first 5 docs: every distinct term with
     (tf, df, tfidf) — the getcontainer/TermVectors analog."""
@@ -2247,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": _q_wildcard_topk,
         "regex_topk": _q_regex_topk,
         "term_vectors": _q_term_vectors,
+        "substring_search": _q_substring_search,
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
@@ -2341,6 +2373,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "wildcard_topk": _osql.wildcard_topk_sql(WILDCARD_SET),
         "regex_topk": _osql.regex_topk_sql(_REGEX_SET),
         "term_vectors": _term_vectors_sql(),
+        "substring_search": _substring_sql(),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),

@@ -143,6 +143,23 @@ def regexes_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(REGEX_SET, "query_id long, pattern string")
 
 
+# Fixed substring-query set (trigram index search).  Mix: an in-word
+# fragment, a repeated-word cross-space phrase fragment, a word-boundary
+# fragment, a two-word prefix fragment, and an out-of-vocabulary needle
+# (an OOV trigram must short-circuit to zero rows pre-verification).
+SUBSTRING_SET: list[tuple[int, str]] = [
+    (1, "indow"),         # inside "window"
+    (2, "batch batch"),   # repeated word across a space
+    (3, "ge li"),         # "...merge line..." boundary
+    (4, "spark wind"),    # cross-word prefix fragment
+    (5, "zzznotthere"),   # OOV
+]
+
+
+def substrings_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(SUBSTRING_SET, "query_id long, needle string")
+
+
 # Fixed synonym thesaurus (query-time expansion).  Mix: a symmetric pair
 # (merge↔join), a full-weight mapping, a down-weighted mapping whose target
 # is ALSO a direct query term in "scan scan filter" (exercises qw

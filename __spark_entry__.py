@@ -790,6 +790,24 @@ def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
+def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisMax fielded retrieval (operators/fielded.dismax_topk): path and
+    content scored as independent BM25s, best field dominates, tie=0.3
+    folds the rest in — the max-based complement to BM25F over the same
+    FIELDED_SET fixture."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.fielded import dismax_topk
+    from invertedfiles_jl_spark.sources.corpus import corpus_from_documents
+    from invertedfiles_jl_spark.sources.queries import fielded_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = dismax_topk(corpus_from_documents(docs), fielded_df(spark), k=10,
+                      tie=0.3, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
 _BOOST_SQL = "1.0 + (doc_id % 5) * 0.05"
 
 
@@ -2282,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
+        "dismax_topk": _q_dismax_topk,
         "prf_bm25_topk": _q_prf_bm25,
         "boosted_bm25_topk": _q_boosted_bm25,
         "synonym_bm25_topk": _q_synonym_bm25,
@@ -2377,6 +2396,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),
+        "dismax_topk": _osql.dismax_topk_sql(FIELDED_SET),
         "prf_bm25_topk": _prf_bm25_sql(),
         "boosted_bm25_topk": _boosted_bm25_sql(),
         "synonym_bm25_topk": _synonym_bm25_sql(),

@@ -70,6 +70,76 @@ def _field_tf(corpus: DataFrame, field: str) -> DataFrame:
     ).select("doc_id", F.lit(field).alias("field"), "term", "tf")
 
 
+def dismax_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                tie: float = 0.3,
+                fields: list[tuple[str, float, float]] | None = None,
+                k1: float = 1.2, rank_round: int | None = None) -> DataFrame:
+    """Disjunction-max fielded retrieval (Lucene ``DisjunctionMaxQuery``):
+    each field is scored as an INDEPENDENT BM25 (its own df, idf and length
+    stats — the "fields as separate indexes" model, where BM25F instead
+    pools evidence before saturation), then per (query, doc)
+
+        score = max_f s_f + tie · (Σ_f s_f − max_f s_f)
+
+    — the best field dominates, other fields only tie-break.  ``fields``
+    reuses the (column, weight, b) triples; the weight multiplies the
+    field's whole score (Lucene per-field boost).  Per-field scores round
+    to 9 dp before the combine so both engines max/sum identical doubles.
+
+    Plan shape: one tokenize pass per field over the corpus (the same
+    SPIMI-persistable relations as :func:`bm25f_topk`), each field's
+    scoring is exactly the Plan A aggregation, and the combine is one
+    groupBy over the union of per-field candidate rows (bounded by
+    Σ_f matched-df)."""
+    fields = DEFAULT_FIELDS if fields is None else fields
+    n_docs = float(corpus.count())
+
+    qt = queries.select(
+        "query_id",
+        F.explode(F.expr(field_tokens_sql("content", "content"))).alias("term"),
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+
+    sides = []
+    for fname, w, b in fields:
+        tf = _field_tf(corpus, fname).drop("field")
+        flen = tf.groupBy("doc_id").agg(F.sum("tf").alias("flen"))
+        avg = flen.agg((F.sum("flen") / F.lit(n_docs)).alias("avglen"))
+        dfr = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df"))
+        qterm = qt.join(dfr, "term").select(
+            "query_id", "term", "qtf",
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)).alias("idf"))
+        contrib = (
+            tf.join(F.broadcast(qterm), "term")
+            .join(flen, "doc_id")
+            .crossJoin(F.broadcast(avg))
+            .select(
+                "query_id", "doc_id",
+                (
+                    F.col("qtf") * F.col("idf")
+                    * (F.col("tf") * (k1 + 1.0)
+                       / (F.col("tf") + k1 * (F.lit(1.0) - b
+                          + b * F.col("flen") / F.col("avglen"))))
+                ).alias("contrib"),
+            )
+        )
+        sides.append(
+            contrib.groupBy("query_id", "doc_id").agg(
+                F.round(F.lit(float(w)) * F.sum("contrib"), 9).alias("s")))
+
+    u = sides[0]
+    for s in sides[1:]:
+        u = u.unionByName(s)
+    comb = u.groupBy("query_id", "doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("tot"))
+    scored = comb.select(
+        "query_id", "doc_id",
+        (F.col("mx") + F.lit(float(tie)) * (F.col("tot") - F.col("mx"))
+         ).alias("score"))
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
 def bm25f_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                fields: list[tuple[str, float, float]] | None = None,
                k1: float = 1.2, rank_round: int | None = None) -> DataFrame:

@@ -314,6 +314,93 @@ SELECT query_id, rank, doc_id, n_terms FROM ranked WHERE rank <= {k}
 """
 
 
+def dismax_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                    tie: float = 0.3,
+                    fields: list[tuple[str, float, float]] | None = None,
+                    k1: float = 1.2) -> str:
+    """DisMax oracle over the derived north-rule corpus — each field an
+    independent BM25 (own df/idf/length stats), per-field score rounded to
+    9 dp, then max_f + tie · (Σ_f − max_f): token-for-token the arithmetic
+    of ``operators.fielded.dismax_topk``."""
+    from invertedfiles_jl_spark.operators.fielded import DEFAULT_FIELDS
+    from invertedfiles_jl_spark.sources.corpus import CORPUS_FROM_DOCUMENTS_DUCKDB
+
+    fields = DEFAULT_FIELDS if fields is None else fields
+    ptok = ("list_filter(string_split_regex(lower(path), '[^a-z0-9]+'), "
+            "t -> t != '')")
+    ctok = ("list_filter(string_split_regex(lower(content), '\\s+'), "
+            "t -> t != '')")
+    toks = {"path": ptok, "content": ctok}
+    qrows = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in queries)
+    parts = [f"""
+corpus AS ({CORPUS_FROM_DOCUMENTS_DUCKDB}),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+q(query_id, content) AS (VALUES {qrows}),
+qtok AS (
+  SELECT query_id,
+         unnest(list_filter(string_split_regex(lower(content), '\\s+'),
+                t -> t != '')) AS term
+  FROM q
+),
+qt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM qtok GROUP BY query_id, term
+)"""]
+    unions = []
+    for fname, w, b in fields:
+        parts.append(f"""
+tf_{fname} AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest({toks[fname]}) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+flen_{fname} AS (
+  SELECT doc_id, sum(tf) AS flen FROM tf_{fname} GROUP BY doc_id
+),
+avg_{fname} AS (
+  SELECT sum(flen) / (SELECT n FROM nd) AS avglen FROM flen_{fname}
+),
+df_{fname} AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf_{fname} GROUP BY term
+),
+qterm_{fname} AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN df_{fname} ON qt.term = df_{fname}.term
+),
+s_{fname} AS (
+  SELECT query_id, t.doc_id,
+         round({w!r} * sum(qtf * idf * (t.tf * {k1 + 1.0}
+             / (t.tf + {k1} * ((1.0 - {b!r}) + {b!r} * fl.flen / a.avglen)))), 9) AS s
+  FROM qterm_{fname}
+  JOIN tf_{fname} t ON qterm_{fname}.term = t.term
+  JOIN flen_{fname} fl ON t.doc_id = fl.doc_id
+  CROSS JOIN avg_{fname} a
+  GROUP BY query_id, t.doc_id
+)""")
+        unions.append(f"SELECT query_id, doc_id, s FROM s_{fname}")
+    u = "\n  UNION ALL\n  ".join(unions)
+    return f"""
+WITH {','.join(parts)},
+u AS ({u}),
+comb AS (
+  SELECT query_id, doc_id, max(s) AS mx, sum(s) AS tot
+  FROM u GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, mx + {tie!r} * (tot - mx) AS score FROM comb
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def regex_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
     """Regex top-k oracle: the wildcard oracle's distinct (doc, term)
     relation matched on ``regexp_full_match`` — whole-term anchoring, the

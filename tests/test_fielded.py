@@ -115,3 +115,82 @@ def test_bm25f_degenerates_to_bm25(corpus, documents, spark):
     for key in want:
         assert got[key][0] == want[key][0], key
         assert math.isclose(got[key][1], want[key][1], rel_tol=1e-9), key
+
+
+# ---------------------------------------------------------------------------
+# DisMax
+# ---------------------------------------------------------------------------
+
+from invertedfiles_jl_spark.operators.fielded import dismax_topk
+
+
+def _py_dismax(corpus_pd, queries, fields, tie=0.3, k1=1.2, k=10):
+    """Pure-python DisMax mirror: independent per-field BM25s (own df and
+    length stats), per-field score rounded to 9, max + tie·rest."""
+    tf = {}
+    for r in corpus_pd.itertuples():
+        tf[(r.doc_id, "path")] = Counter(
+            t for t in re.split(r"[^a-z0-9]+", r.path.lower()) if t)
+        tf[(r.doc_id, "content")] = Counter(r.content.lower().split())
+    docs = sorted({d for d, _ in tf})
+    n = float(len(docs))
+    out = {}
+    per_field = {}
+    for f, w, b in fields:
+        flen = {d: sum(tf[(d, f)].values()) for d in docs}
+        avglen = sum(flen.values()) / n
+        df = Counter()
+        for d in docs:
+            df.update(set(tf[(d, f)]))
+        per_field[f] = (w, b, flen, avglen, df)
+    for qid, text in queries:
+        qtf = Counter(text.lower().split())
+        sides = {}
+        for f, (w, b, flen, avglen, df) in per_field.items():
+            scores = {}
+            for term, qn in qtf.items():
+                if term not in df:
+                    continue
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                for d in docs:
+                    t = tf[(d, f)].get(term, 0)
+                    if t:
+                        sat = t * (k1 + 1.0) / (t + k1 * (1.0 - b
+                                                          + b * flen[d] / avglen))
+                        scores[d] = scores.get(d, 0.0) + qn * idf * sat
+            for d, s in scores.items():
+                sides.setdefault(d, []).append(round(w * s, 9))
+        combined = {d: max(ss) + tie * (sum(ss) - max(ss))
+                    for d, ss in sides.items()}
+        ranked = sorted(combined.items(),
+                        key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            out[(qid, rank)] = (d, s)
+    return out
+
+
+def test_dismax_matches_python(corpus, corpus_pd, spark):
+    from invertedfiles_jl_spark.operators.fielded import DEFAULT_FIELDS
+
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in dismax_topk(corpus, fielded_df(spark), k=10, tie=0.3,
+                                rank_round=6).collect()}
+    want = _py_dismax(corpus_pd, FIELDED_SET, DEFAULT_FIELDS, tie=0.3)
+    assert set(got) == set(want)
+    for key, (wd, ws) in want.items():
+        gd, gs = got[key]
+        assert gd == wd, key
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_dismax_tie_zero_is_pure_max(corpus, corpus_pd, spark):
+    """tie=0: the combined score must equal the best single field's."""
+    from invertedfiles_jl_spark.operators.fielded import DEFAULT_FIELDS
+
+    got = dismax_topk(corpus, fielded_df(spark), k=10, tie=0.0,
+                      rank_round=6).collect()
+    want = _py_dismax(corpus_pd, FIELDED_SET, DEFAULT_FIELDS, tie=0.0)
+    for r in got:
+        wd, ws = want[(r["query_id"], r["rank"])]
+        assert r["doc_id"] == wd
+        assert r["score"] == pytest.approx(ws, abs=1e-9)

@@ -166,6 +166,42 @@ def main(argv=None):
                     help="snippet mode: corpus parquet/table for the window "
                          "text (doc_id, content)")
 
+    bt = sub.add_parser(
+        "build-trigram",
+        help="build the character-trigram substring index (pg_trgm analog)")
+    bt.add_argument("--input", required=True)
+    bt.add_argument("--output", required=True)
+    bt.add_argument("--doc-col", default="doc_id")
+    bt.add_argument("--content-col", default="content")
+
+    ss = sub.add_parser(
+        "substring",
+        help="exact substring search over a trigram index: candidates from "
+             "the rarest needle trigrams, verified against the text")
+    ss.add_argument("--trigram", required=True,
+                    help="trigram postings parquet (from build-trigram)")
+    ss.add_argument("--corpus", required=True,
+                    help="corpus parquet/table for verification (doc_id, content)")
+    ss.add_argument("--needles", required=True,
+                    help="parquet with (query_id long, needle string)")
+    ss.add_argument("--output", required=True)
+    ss.add_argument("--max-grams", type=int, default=8)
+    ss.add_argument("--doc-col", default="doc_id")
+    ss.add_argument("--content-col", default="content")
+
+    rk = sub.add_parser(
+        "rerank",
+        help="MMR diversity re-rank over dense candidates "
+             "(operators.rerank.mmr_rerank)")
+    rk.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id long, embedding array)")
+    rk.add_argument("--queries", required=True,
+                    help="parquet with (query_id long, q_emb array)")
+    rk.add_argument("--output", required=True)
+    rk.add_argument("--k", type=int, default=10)
+    rk.add_argument("--depth", type=int, default=50)
+    rk.add_argument("--lam", type=float, default=0.7)
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -173,7 +209,10 @@ def main(argv=None):
     q.add_argument("--output", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--plan", default="wand",
-                   choices=["wand", "relational", "sharded"])
+                   choices=["wand", "relational", "sharded", "auto"])
+    q.add_argument("--synonyms", default=None,
+                   help="parquet with (term, syn, weight) — query-time "
+                        "synonym expansion (bm25, relational plan only)")
     q.add_argument("--shards", default=None,
                    help="persisted shards table (from the `shard` subcommand); "
                         "with --plan sharded, serves batches with zero per-batch "
@@ -216,6 +255,46 @@ def main(argv=None):
                             content_col=args.content_col).write.mode(
             "overwrite").parquet(args.output)
         print(f"wrote positional postings to {args.output}")
+        return 0
+
+    if args.cmd == "build-trigram":
+        from invertedfiles_jl_spark.operators.trigram import build_trigram_index
+
+        corpus = (spark.read.table(args.input) if "/" not in args.input
+                  else spark.read.parquet(args.input))
+        ti = build_trigram_index(corpus, doc_col=args.doc_col,
+                                 content_col=args.content_col)
+        ti.postings.write.mode("overwrite").parquet(args.output)
+        print(f"wrote trigram postings to {args.output}")
+        return 0
+
+    if args.cmd == "substring":
+        from invertedfiles_jl_spark.operators.trigram import (
+            TrigramIndex,
+            substring_search,
+        )
+        from pyspark.sql import functions as F
+
+        corpus = (spark.read.table(args.corpus) if "/" not in args.corpus
+                  else spark.read.parquet(args.corpus))
+        ti = TrigramIndex(
+            postings=spark.read.parquet(args.trigram),
+            corpus=corpus.select(F.col(args.doc_col).alias("doc_id"),
+                                 F.col(args.content_col).alias("content")))
+        needles = spark.read.parquet(args.needles)
+        substring_search(ti, needles, max_grams=args.max_grams) \
+            .write.mode("overwrite").parquet(args.output)
+        print(f"wrote substring matches to {args.output}")
+        return 0
+
+    if args.cmd == "rerank":
+        from invertedfiles_jl_spark.operators.rerank import mmr_rerank
+
+        emb = spark.read.parquet(args.embeddings)
+        queries = spark.read.parquet(args.queries)
+        mmr_rerank(emb, queries, k=args.k, depth=args.depth, lam=args.lam) \
+            .write.mode("overwrite").parquet(args.output)
+        print(f"wrote MMR rerank to {args.output}")
         return 0
 
     if args.cmd == "split":
@@ -380,6 +459,8 @@ def main(argv=None):
         print(f"served {final.count()} result rows to {args.output}")
         return 0
 
+    if args.synonyms and args.plan != "relational":
+        raise SystemExit("--synonyms requires --plan relational")
     idx = load_index(spark, args.index)
     queries = spark.read.parquet(args.queries)
     rr = args.rank_round
@@ -419,6 +500,18 @@ def main(argv=None):
         from invertedfiles_jl_spark.operators.wand import wand_topk
 
         res = wand_topk(idx, queries, k=args.k, rank_round=rr)
+    elif args.plan == "auto":
+        from invertedfiles_jl_spark.plans.router import auto_topk
+
+        assert idx.cfg.weighting == "bm25", "--plan auto requires a bm25 index"
+        res = auto_topk(idx, queries, k=args.k, rank_round=rr,
+                        n_shards=args.n_shards)
+    elif args.synonyms:
+        from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+
+        assert idx.cfg.weighting == "bm25", "--synonyms requires a bm25 index"
+        syn = spark.read.parquet(args.synonyms)
+        res = synonym_bm25_topk(idx, queries, syn, k=args.k, rank_round=rr)
     else:
         from invertedfiles_jl_spark.operators.search import bm25_topk, cosine_topk
 

@@ -51,7 +51,7 @@ def _ranking(spark, path):
 def test_cli_build_then_query_all_plans_agree(spark, index_path, queries_path,
                                               tmp_path):
     outs = {}
-    for plan in ("wand", "relational", "sharded"):
+    for plan in ("wand", "relational", "sharded", "auto"):
         out = str(tmp_path / f"res_{plan}")
         rc = submit_main.main(["query", "--index", index_path,
                                "--queries", queries_path, "--output", out,
@@ -59,7 +59,7 @@ def test_cli_build_then_query_all_plans_agree(spark, index_path, queries_path,
         assert rc == 0
         outs[plan] = _ranking(spark, out)
     assert outs["wand"] and set(outs["wand"]) == set(outs["relational"])
-    assert outs["wand"] == outs["relational"] == outs["sharded"]
+    assert outs["wand"] == outs["relational"] == outs["sharded"] == outs["auto"]
 
 
 def test_cli_shard_layout_serves_batches(spark, index_path, queries_path,
@@ -302,3 +302,84 @@ def test_cli_pack_and_sample(spark, corpus_path, documents, tmp_path):
     with pytest.raises(SystemExit):
         submit_main.main(["sample", "--input", docs_path,
                           "--strata-col", "lang", "--output", sout])
+
+
+def test_cli_synonyms_matches_library(spark, index_path, corpus_path,
+                                      queries_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.operators.search import synonym_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df, synonyms_df
+
+    syn_path = str(tmp_path / "syn")
+    synonyms_df(spark).write.mode("overwrite").parquet(syn_path)
+    out = str(tmp_path / "res_syn")
+    rc = submit_main.main(["query", "--index", index_path,
+                           "--queries", queries_path, "--output", out,
+                           "--plan", "relational", "--synonyms", syn_path,
+                           "--rank-round", "6"])
+    assert rc == 0
+    got = _ranking(spark, out)
+    corpus = spark.read.parquet(corpus_path)
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    want = {}
+    for r in synonym_bm25_topk(idx, queries_df(spark), synonyms_df(spark),
+                               k=10, rank_round=6).collect():
+        want.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert got == {q: sorted(v) for q, v in want.items()} and got
+    # guard: --synonyms outside the relational plan must refuse
+    with pytest.raises(SystemExit):
+        submit_main.main(["query", "--index", index_path,
+                          "--queries", queries_path, "--output", out,
+                          "--plan", "wand", "--synonyms", syn_path])
+
+
+def test_cli_trigram_substring_and_rerank(spark, corpus_path, tmp_path,
+                                          sf_dir):
+    from invertedfiles_jl_spark.operators.rerank import mmr_rerank
+    from invertedfiles_jl_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+    from invertedfiles_jl_spark.sources.queries import substrings_df
+    from pyspark.sql import functions as F
+
+    tri = str(tmp_path / "trigram")
+    rc = submit_main.main(["build-trigram", "--input", corpus_path,
+                           "--output", tri])
+    assert rc == 0
+
+    needles = str(tmp_path / "needles")
+    substrings_df(spark).write.mode("overwrite").parquet(needles)
+    out = str(tmp_path / "subs")
+    rc = submit_main.main(["substring", "--trigram", tri,
+                           "--corpus", corpus_path, "--needles", needles,
+                           "--output", out])
+    assert rc == 0
+    got = {(r["query_id"], r["doc_id"]): r["n_occ"]
+           for r in spark.read.parquet(out).collect()}
+    corpus = spark.read.parquet(corpus_path)
+    ti = build_trigram_index(corpus)
+    want = {(r["query_id"], r["doc_id"]): r["n_occ"]
+            for r in substring_search(ti, substrings_df(spark)).collect()}
+    assert got == want and got
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    qp = str(tmp_path / "vq")
+    emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb")).write.mode("overwrite").parquet(qp)
+    rout = str(tmp_path / "rerank")
+    rc = submit_main.main(["rerank", "--embeddings", emb_path,
+                           "--queries", qp, "--output", rout,
+                           "--k", "5", "--depth", "15", "--lam", "0.7"])
+    assert rc == 0
+    got_r = {(r["query_id"], r["rank"]): r["doc_id"]
+             for r in spark.read.parquet(rout).collect()}
+    vq = spark.read.parquet(qp)
+    want_r = {(r["query_id"], r["rank"]): r["doc_id"]
+              for r in mmr_rerank(emb, vq, k=5, depth=15, lam=0.7).collect()}
+    assert got_r == want_r and got_r

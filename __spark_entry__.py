@@ -726,6 +726,84 @@ FROM q JOIN documents d ON contains(lower(d.text), lower(q.needle))
 """
 
 
+def _q_query_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query significant terms over the top-50 BM25 hit set, JLH vs the
+    corpus background, top-10 per query (significant_text analog)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import query_significant_terms
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = query_significant_terms(idx, _corpus(spark, sf_dir),
+                                  queries_df(spark), n=10, depth=50,
+                                  min_fg=3)
+    return res.select("query_id", "rank", "term", "fg", "bg",
+                      F.round("jlh", 6).alias("jlh"))
+
+
+def _query_significant_terms_sql(n: int = 10, depth: int = 50,
+                                 min_fg: int = 3, k1: float = 1.2,
+                                 b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_query_significant_terms` — the BM25 CTE
+    chain for the top-depth hit set, document-presence fg from the tf
+    relation, bg straight from vocab, the identical JLH chain."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {depth}),
+nfg AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_fg FROM hits GROUP BY query_id
+),
+fg AS (
+  SELECT h.query_id, tf.term, CAST(count(*) AS BIGINT) AS fg
+  FROM hits h JOIN tf ON h.doc_id = tf.doc_id
+  GROUP BY h.query_id, tf.term
+),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg, vocab.df AS bg,
+         fg.fg / n_fg AS fg_pct, vocab.df / n_docs AS bg_pct
+  FROM fg
+  JOIN vocab ON fg.term = vocab.term
+  JOIN nfg ON fg.query_id = nfg.query_id
+  CROSS JOIN stats
+  WHERE fg.fg >= {min_fg}
+),
+jl AS (
+  SELECT query_id, term, fg, bg,
+         (fg_pct - bg_pct) * (fg_pct / bg_pct) AS jlh
+  FROM sig WHERE fg_pct > bg_pct
+),
+out AS (
+  SELECT query_id, term, fg, bg, jlh,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(jlh, 6) DESC, term ASC) AS INTEGER) AS rank
+  FROM jl
+)
+SELECT query_id, rank, term, fg, bg, round(jlh, 6) AS jlh
+FROM out WHERE rank <= {n}
+"""
+
+
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward doc view for the first 5 docs: every distinct term with
     (tf, df, tfidf) — the getcontainer/TermVectors analog."""
@@ -2297,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_topk": _q_regex_topk,
         "term_vectors": _q_term_vectors,
         "substring_search": _q_substring_search,
+        "query_significant_terms": _q_query_significant_terms,
         "fuzzy_topk": _q_fuzzy_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25f_topk": _q_bm25f_topk,
@@ -2393,6 +2472,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "regex_topk": _osql.regex_topk_sql(_REGEX_SET),
         "term_vectors": _term_vectors_sql(),
         "substring_search": _substring_sql(),
+        "query_significant_terms": _query_significant_terms_sql(),
         "fuzzy_topk": _osql.fuzzy_topk_sql(FUZZY_SET),
         "bm25_explain": _bm25_explain_sql(),
         "bm25f_topk": _osql.bm25f_topk_sql(FIELDED_SET),

@@ -579,6 +579,61 @@ def doc_term_profile(index: InvertedIndex, corpus: DataFrame,
     )
 
 
+def query_significant_terms(index: InvertedIndex, corpus: DataFrame,
+                            queries: DataFrame, n: int = 10, depth: int = 50,
+                            min_fg: int = 3, jlh_round: int = 6,
+                            rank_round: int | None = 6,
+                            content_col: str = "content") -> DataFrame:
+    """Per-QUERY significant terms (Elasticsearch ``significant_text``
+    analog): mine the query's top-``depth`` BM25 hits for terms
+    overrepresented vs the whole corpus, JLH-ranked —
+
+        jlh = (fg_pct − bg_pct) · (fg_pct / bg_pct),
+        fg_pct = fg / n_fg (hit-set doc presence),
+        bg_pct = df / N     (corpus doc presence, straight from vocab)
+
+    Returns (query_id, rank, term, fg, bg, jlh).  The "why did this query
+    match" lens: expansion candidates, drift triage, query debugging.
+
+    Scale shape = ES's own answer (sampled significance): fg counts come
+    from tokenizing the BOUNDED top-depth hit set (Q·depth docs via a
+    broadcast semi-join of the forward corpus — postings never re-explode),
+    bg is the vocab dimension already in the index, and the final window is
+    per-query bounded."""
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    n_docs = float(index.stats["n_docs"])
+    hits = bm25_topk(index, queries, k=depth, rank_round=rank_round).select(
+        "query_id", "doc_id")
+    n_fg = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fg"))
+    src = corpus.join(F.broadcast(hits.select("doc_id").distinct()),
+                      "doc_id", "left_semi")
+    dt = exploded_terms(src, "doc_id", "doc_id", content_col,
+                        index.cfg).distinct()
+    fg = (F.broadcast(hits).join(dt, "doc_id")
+          .groupBy("query_id", "term")
+          .agg(F.count(F.lit(1)).alias("fg")))
+    fg = fg.withColumn("term_id", term_id_col(F.col("term")))
+    scored = (
+        fg.filter(F.col("fg") >= min_fg)
+        .join(index.vocab.select("term_id", F.col("df").alias("bg")), "term_id")
+        .join(F.broadcast(n_fg), "query_id")
+        .withColumn("fg_pct", F.col("fg") / F.col("n_fg"))
+        .withColumn("bg_pct", F.col("bg") / F.lit(n_docs))
+        .filter(F.col("fg_pct") > F.col("bg_pct"))
+        .withColumn("jlh", (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("jlh"), jlh_round).desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "term", "fg", "bg", "jlh")
+    )
+
+
 def term_vectors(index: InvertedIndex, corpus: DataFrame,
                  doc_ids: DataFrame, content_col: str = "content") -> DataFrame:
     """Forward doc view (Lucene ``TermVectors`` / the reference's

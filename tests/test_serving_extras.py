@@ -503,3 +503,58 @@ def test_facet_histogram_matches_python(bm25_index, documents, texts, spark):
             if qterms & set(t.lower().split()):
                 want[(qid, (n_chars[d] // 200) * 200)] += 1
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# per-query significant terms (significant_text)
+# ---------------------------------------------------------------------------
+
+
+def test_query_significant_terms_match_python(bm25_index, texts, spark):
+    from invertedfiles_jl_spark.operators.search import (
+        bm25_topk,
+        query_significant_terms,
+    )
+
+    depth, n, min_fg = 20, 5, 2
+    hits = {}
+    for r in bm25_topk(bm25_index, queries_df(spark), k=depth,
+                       rank_round=6).collect():
+        hits.setdefault(r["query_id"], []).append(r["doc_id"])
+    tf = {d: set(t.lower().split()) for d, t in texts.items()}
+    df = Counter(t for s in tf.values() for t in s)
+    n_docs = len(tf)
+    want = {}
+    for qid, docs in hits.items():
+        fg = Counter(t for d in docs for t in tf[d])
+        n_fg = len(docs)
+        rows = []
+        for t, f in fg.items():
+            if f < min_fg:
+                continue
+            fg_pct = f / n_fg
+            bg_pct = df[t] / float(n_docs)
+            if fg_pct > bg_pct:
+                rows.append((-round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6),
+                             t, f, df[t],
+                             (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+        rows.sort()
+        want[qid] = [(i + 1, t, f, b, j) for i, (_, t, f, b, j)
+                     in enumerate(rows[:n])]
+    got = {}
+    for r in query_significant_terms(bm25_index, corpus_df(spark, texts),
+                                     queries_df(spark), n=n, depth=depth,
+                                     min_fg=min_fg).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["term"], r["fg"], r["bg"], r["jlh"]))
+    for qid, rows in want.items():
+        mine = sorted(got.get(qid, []))
+        assert [(rk, t, f, b) for rk, t, f, b, _ in rows] == \
+               [(rk, t, f, b) for rk, t, f, b, _ in mine], f"query {qid}"
+        for (_, _, _, _, wj), (_, _, _, _, gj) in zip(rows, mine):
+            assert gj == pytest.approx(wj, abs=1e-9)
+
+
+def corpus_df(spark, texts):
+    return spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id long, content string")

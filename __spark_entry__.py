@@ -1146,6 +1146,31 @@ _SAMPLE_FRACS = {"en": 0.3, "zh": 1.0}  # rebalance: downsample en, keep zh
 _SAMPLE_DEFAULT = 0.5
 
 
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: (doc_id, shard, pos) over 8
+    shards — reading shards in order, each by pos, is the reproducible
+    shuffled epoch."""
+    from invertedfiles_jl_spark.operators.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shuffle_order(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+def _shuffle_order_sql(n_shards: int = 8) -> str:
+    """DuckDB mirror of :func:`_q_shuffle_order` — identical md5 bucket,
+    shard = bucket % n, pos = row_number over (bucket, doc_id) per shard."""
+    from invertedfiles_jl_spark.operators.sampling import duckdb_split_bucket_sql
+
+    b = duckdb_split_bucket_sql("doc_id", "shuffle")
+    return f"""
+WITH b AS (SELECT doc_id, {b} AS bucket FROM documents)
+SELECT doc_id, CAST(bucket % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY bucket % {n_shards}
+            ORDER BY bucket ASC, doc_id ASC) AS BIGINT) AS pos
+FROM b
+"""
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, append-stable train/val/test assignment (map-only md5
     bucket thresholding, operators/sampling.hash_split)."""
@@ -2391,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
         "hash_split": _q_hash_split,
+        "shuffle_order": _q_shuffle_order,
         "stratified_sample": _q_stratified_sample,
         "temperature_sample": _q_temperature_sample,
         "significant_terms": _q_significant_terms,
@@ -2488,6 +2514,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),
+        "shuffle_order": _shuffle_order_sql(),
         "stratified_sample": _osql.stratified_sample_sql(
             _SAMPLE_FRACS, "lang", default=_SAMPLE_DEFAULT),
         "temperature_sample": _osql.temperature_sample_sql(

@@ -133,3 +133,29 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     thr = (thr.otherwise(F.lit(int(default * HASH_SPACE)))
            if thr is not None else F.lit(int(default * HASH_SPACE)))
     return df.filter(bucket < thr)
+
+
+def shuffle_order(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                  salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random position — (shard, pos) such that reading shards in
+    order, each sorted by pos, is a uniformly-shuffled pass over the corpus
+    that any engine reproduces bit-for-bit (the md5 bucket trick shared
+    with :func:`hash_split`; change ``salt`` for an independent epoch
+    permutation).
+
+    Returns the input plus (shard long, pos long).  Scale shape: this IS
+    the classic materialize-training-shards job — one exchange keyed on the
+    shard plus a per-shard sort, bounded by corpus/n_shards per task; the
+    hash order breaks source locality (adjacent docs land in different
+    shards) which is the point.  Tie-break inside a bucket is the id, so
+    duplicate buckets (16M space) stay deterministic."""
+    bucket = F.expr(split_bucket_sql(id_col, salt))
+    from pyspark.sql import Window
+
+    out = df.withColumn("_b", bucket).withColumn(
+        "shard", (F.col("_b") % n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_b").asc(), F.col(id_col).asc())
+    return (out.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_b"))

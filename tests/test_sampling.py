@@ -126,3 +126,50 @@ def test_threshold_edges(spark):
     b = {r.doc_id: r.split
          for r in hash_split(df, {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_order_is_a_permutation(documents, spark):
+    from invertedfiles_jl_spark.operators.sampling import shuffle_order
+
+    got = shuffle_order(documents.select("doc_id"), n_shards=8).collect()
+    n = documents.count()
+    assert len(got) == n
+    assert len({r["doc_id"] for r in got}) == n
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_shuffle_order_deterministic_and_salt_sensitive(documents, spark):
+    from invertedfiles_jl_spark.operators.sampling import shuffle_order
+
+    docs = documents.select("doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(docs, n_shards=8).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(docs, n_shards=8).collect()}
+    assert a == b, "same salt must reproduce bit-for-bit"
+    c = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(docs, n_shards=8, salt="epoch2").collect()}
+    assert a != c, "a new salt must give an independent permutation"
+
+
+def test_shuffle_order_breaks_source_order(documents, spark):
+    """Adjacent doc_ids should rarely be adjacent in the shuffled order —
+    the shuffle must actually decorrelate the input sequence."""
+    from invertedfiles_jl_spark.operators.sampling import shuffle_order
+
+    got = sorted(
+        ((r["shard"], r["pos"]), r["doc_id"])
+        for r in shuffle_order(documents.select("doc_id"), n_shards=1).collect())
+    order = [d for _, d in got]
+    adjacent = sum(1 for a, b in zip(order, order[1:]) if abs(a - b) == 1)
+    assert adjacent < len(order) * 0.05

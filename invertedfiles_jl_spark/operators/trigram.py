@@ -114,9 +114,12 @@ def substring_search(tindex: TrigramIndex, queries: DataFrame,
     )
     # OOV gram ⇒ the needle cannot occur anywhere: drop the whole query.
     # (left join; a query keeps flowing only if every gram found a df)
-    qv = qg.join(tindex.postings.select("gram", "df"), "gram", "left")
+    # the (gram, df) stats relation is alphabet³-bounded → broadcast-safe
+    # at any corpus size (lists stay behind; only the df column ships)
+    qv = qg.join(F.broadcast(tindex.postings.select("gram", "df")),
+                 "gram", "left")
     bad = qv.filter(F.col("df").isNull()).select("query_id").distinct()
-    qv = qv.join(bad, "query_id", "left_anti")
+    qv = qv.join(F.broadcast(bad), "query_id", "left_anti")  # ≤ Q rows
     # rarest-first gram selection (pg_trgm trick): df asc, gram asc
     w = Window.partitionBy("query_id").orderBy(F.col("df").asc(),
                                                F.col("gram").asc())

@@ -333,3 +333,39 @@ def test_synonym_collapse_minmax_histogram_router_no_smj(spark, served,
     for df in plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
+
+
+def test_regex_termvectors_significant_substring_no_smj(spark, served,
+                                                        documents):
+    """Second batch of new plans: regex expansion (vocab theta-join),
+    term-vectors forward view (broadcast id set), per-query significant
+    terms (broadcast hit set), and the substring search's candidate path
+    (broadcast gram selection) must stay SortMergeJoin-free at query-batch
+    scale."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import (
+        query_significant_terms,
+        regex_topk,
+        term_vectors,
+    )
+    from invertedfiles_jl_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+    from invertedfiles_jl_spark.sources.queries import regexes_df, substrings_df
+
+    idx, _ = served
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    ids = spark.range(4).select(F.col("id").alias("doc_id"))
+    ti = build_trigram_index(corpus)
+    plans = [
+        regex_topk(idx, regexes_df(spark), k=10),
+        term_vectors(idx, corpus, ids),
+        query_significant_terms(idx, corpus, queries_df(spark), n=5,
+                                depth=20),
+        substring_search(ti, substrings_df(spark)),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan

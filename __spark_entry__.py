@@ -1469,6 +1469,53 @@ def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("score", 5).alias("score"))
 
 
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (percolator): every (doc, standing query) pair where
+    the doc contains ALL the query's in-vocab terms, scored with the
+    frozen-stats BM25 of the streaming server."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.streaming.serve import percolate
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = percolate(idx, queries_df(spark), _corpus(spark, sf_dir),
+                    require_all=True)
+    return res.select("doc_id", "query_id", "n_matched",
+                      F.round("score", 5).alias("score"))
+
+
+def _percolate_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_percolate` — the shared tf/dl/stats CTEs,
+    one (doc, query) aggregation, the conjunctive n_matched == n_need gate.
+    """
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+need AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_need
+  FROM qterm GROUP BY query_id
+),
+per AS (
+  SELECT tf.doc_id, qterm.query_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, qterm.query_id
+)
+SELECT per.doc_id, per.query_id, n_matched, round(score, 5) AS score
+FROM per JOIN need ON per.query_id = need.query_id
+WHERE n_matched = n_need
+"""
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank (RRF).
 
@@ -2433,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_topk": _q_hybrid_minmax,
         "mmr_rerank": _q_mmr_rerank,
         "streaming_bm25_topk": _q_streaming_topk,
+        "percolate_matches": _q_percolate,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "incremental_postings": _q_incremental_postings,
@@ -2533,6 +2581,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "mmr_rerank": _mmr_sql(),
         "hybrid_rrf_ivf_topk": _hybrid_rrf_ivf_sql(),
         "streaming_bm25_topk": _bm25_sql(),
+        "percolate_matches": _percolate_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
         "embedding_near_dups_exact": _osql.embedding_near_dups_sql(

@@ -83,6 +83,52 @@ def matched_occurrences(stream_docs: DataFrame, index: InvertedIndex,
     return occ.join(F.broadcast(standing_queries(index, queries)), "term_id")
 
 
+def percolate(index: InvertedIndex, queries: DataFrame, docs: DataFrame,
+              require_all: bool = True, k1: float | None = None,
+              b: float | None = None,
+              content_col: str = "content") -> DataFrame:
+    """Reverse search (Elasticsearch percolator analog): which standing
+    queries match each incoming document?  The BATCH twin of
+    :func:`streaming_bm25_topk` — same frozen-stats scoring model, same
+    stream-static join relation (:func:`matched_occurrences` works on any
+    DataFrame), but emitting per-DOC matches instead of per-query pools:
+
+        (doc_id, query_id, n_matched, score)
+
+    ``require_all`` keeps only docs containing EVERY in-vocab term of the
+    query (a query with an out-of-vocabulary term then never fires, the
+    conjunctive reading); False is the disjunctive match-any reading.
+    Scoring is the engine's exact BM25 arithmetic with idf/avgdl/N frozen
+    from the index snapshot — alert routing, saved searches, feed fan-out.
+
+    Scale shape: per-batch work is the matched occurrence rows only
+    (broadcast standing-query relation, no posting lists touched at all —
+    the index contributes only vocab stats), one partial+final aggregation
+    keyed (doc, query)."""
+    k1 = float(index.cfg.bm25_k1 if k1 is None else k1)
+    b = float(index.cfg.bm25_b if b is None else b)
+    avgdl = float(index.stats["avg_doc_len"] or 1.0)
+
+    m = matched_occurrences(docs, index, queries, content_col=content_col)
+    tf = m.groupBy("doc_id", "query_id", "term_id", "qtf", "idf",
+                   "doc_len").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    sat = (F.col("tf") * (k1 + 1.0)
+           / (F.col("tf") + k1 * ((1.0 - b)
+              + b * F.col("doc_len") / F.lit(avgdl))))
+    per = tf.groupBy("doc_id", "query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(F.col("qtf") * F.col("idf") * sat).alias("score"),
+    )
+    if require_all:
+        need = standing_queries(index, queries).groupBy("query_id").agg(
+            F.countDistinct("term_id").alias("n_need"))
+        per = (per.join(F.broadcast(need), "query_id")
+               .filter(F.col("n_matched") == F.col("n_need"))
+               .drop("n_need"))
+    return per.select("doc_id", "query_id", "n_matched", "score")
+
+
 def streaming_bm25_topk(stream_docs: DataFrame, index: InvertedIndex,
                         queries: DataFrame, k: int = 10,
                         rank_round: int = 6) -> DataFrame:

@@ -112,3 +112,73 @@ def test_serve_rank_pool_half_up_boundary():
     # sanity: np.round (half-to-even) would have picked doc 7
     wrong = np.lexsort((ids, -np.round(sc, 1)))[:1]
     assert ids[wrong].tolist() == [7]
+
+
+# ---------------------------------------------------------------------------
+# percolate (batch reverse search)
+# ---------------------------------------------------------------------------
+
+
+def test_percolate_matches_python(documents, docs_pandas, spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.sources.queries import QUERY_SET, queries_df
+    from invertedfiles_jl_spark.streaming.serve import percolate
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    idx = build_index(corpus, IndexConfig(weighting="bm25",
+                                          weight_dtype="double"))
+    got = {(r["doc_id"], r["query_id"]): (r["n_matched"],
+                                          round(r["score"], 6))
+           for r in percolate(idx, queries_df(spark), corpus).collect()}
+
+    texts = dict(zip(docs_pandas["doc_id"], docs_pandas["text"]))
+    tf = {d: Counter(t.lower().split()) for d, t in texts.items()}
+    df = Counter(t for c in tf.values() for t in set(c))
+    n = len(tf)
+    avgdl = sum(sum(c.values()) for c in tf.values()) / n
+    want = {}
+    for qid, qtext in QUERY_SET:
+        qtf = Counter(qtext.split())
+        invocab = {t: c for t, c in qtf.items() if t in df}
+        if not invocab:
+            continue
+        for d, c in tf.items():
+            if not all(t in c for t in invocab):
+                continue
+            dl = sum(c.values())
+            s = 0.0
+            for t, qn in invocab.items():
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                sat = c[t] * 2.2 / (c[t] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                s += qn * idf * sat
+            want[(d, qid)] = (len(invocab), round(s, 6))
+    assert set(got) == set(want)
+    for key, (wn, ws) in want.items():
+        gn, gs = got[key]
+        assert gn == wn, key
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+def test_percolate_oov_query_never_fires(documents, spark):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.streaming.serve import percolate
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    idx = build_index(corpus, IndexConfig(weighting="bm25",
+                                          weight_dtype="double"))
+    # query 2 mixes a vocab term with an OOV term: under require_all the
+    # OOV term is not required (not in vocab), so it can still fire; a
+    # fully-OOV query must never fire
+    q = spark.createDataFrame([(1, "zzznope qqqgone"), (2, "window")],
+                              "query_id long, content string")
+    got = {r["query_id"] for r in percolate(idx, q, corpus).collect()}
+    assert got == {2}

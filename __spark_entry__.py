@@ -531,6 +531,61 @@ def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score"))
 
 
+def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match retrieval: docs matching ≥ ceil(0.67 · m) of
+    each query's m in-vocab terms (the fractional t-threshold)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import bm25_msm_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = bm25_msm_topk(idx, queries_df(spark), k=10, msm=0.67, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _bm25_msm_sql(k: int = 10, msm: float = 0.67, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_bm25_msm`: per-query in-vocab term count
+    → HAVING count ≥ ceil(msm · m)."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+need AS (
+  SELECT query_id, CAST(ceil({msm!r} * count(*)) AS BIGINT) AS need
+  FROM qterm GROUP BY query_id
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+kept AS (
+  SELECT scored.query_id, doc_id, score
+  FROM scored JOIN need ON scored.query_id = need.query_id
+  WHERE n_matched >= need
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM kept
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_bm25_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2424,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_tthreshold2": _q_bm25_t2,
+        "bm25_msm_topk": _q_bm25_msm,
         "cosine_topk": _q_cosine,
         "jaccard_topk": _q_set("jaccard"),
         "dice_topk": _q_set("dice"),
@@ -2517,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_filtered_topk": _bm25_sql(accept_where="lang = 'en'"),
         "bm25_tthreshold2": _bm25_sql(t=2),
+        "bm25_msm_topk": _bm25_msm_sql(),
         "cosine_topk": _cosine_sql(),
         "jaccard_topk": _set_dist_sql("jaccard"),
         "dice_topk": _set_dist_sql("dice"),

@@ -182,6 +182,29 @@ def _bm25_scored(index: InvertedIndex, queries: DataFrame,
     )
 
 
+def bm25_msm_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                  msm: float = 0.5,
+                  rank_round: int | None = None) -> DataFrame:
+    """BM25 with ``minimum_should_match`` as a FRACTION (Elasticsearch
+    percentage form): a doc qualifies if it matches ≥ ceil(msm · m) of the
+    query's m distinct in-vocab terms — the per-query generalization of the
+    reference's fixed xmerge t-threshold (msm · m ≡ t when every query has
+    the same m).  OOV terms don't count toward m (they can never match), so
+    a partially-OOV query isn't impossible to satisfy.
+
+    Plan shape = :func:`bm25_topk` plus one broadcast of the per-query
+    requirement (Q rows)."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    qt = _bm25_qterms(index, queries)
+    need = qt.groupBy("query_id").agg(
+        F.ceil(F.lit(float(msm)) * F.count(F.lit(1))).cast("long").alias("need"))
+    scored = _bm25_scored(index, queries)
+    kept = (scored.join(F.broadcast(need), "query_id")
+            .filter(F.col("n_matched") >= F.col("need"))
+            .select("query_id", "doc_id", "score"))
+    return topk(kept, k, "score", ascending=False, rank_round=rank_round)
+
+
 def explain_bm25(index: InvertedIndex, queries: DataFrame, k: int = 10,
                  rank_round: int | None = None) -> DataFrame:
     """Score explanation (Lucene ``IndexSearcher.explain`` analog): for

@@ -252,3 +252,24 @@ def test_boolean_topk_semantics(corpus, texts, spark):
                 [(9, "scan window")], "query_id long, content string"),
                 k=10, rank_round=6).collect()]
     assert bres == pres and len(bres) == 10
+
+
+def test_msm_generalizes_t_threshold(corpus, spark):
+    """With every query reduced to its in-vocab terms, msm = 1.0 requires
+    ALL terms (conjunction) and msm → 0 degenerates to plain BM25."""
+    from invertedfiles_jl_spark.operators.search import bm25_msm_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    q = queries_df(spark)
+    plain = {(r["query_id"], r["rank"]): r["doc_id"]
+             for r in bm25_topk(idx, q, k=10, rank_round=6).collect()}
+    loose = {(r["query_id"], r["rank"]): r["doc_id"]
+             for r in bm25_msm_topk(idx, q, k=10, msm=1e-9,
+                                    rank_round=6).collect()}
+    assert loose == plain
+    # msm=1.0: every returned doc must contain every in-vocab query term
+    strict = bm25_msm_topk(idx, q, k=100_000, msm=1.0, rank_round=6)
+    loose_all = bm25_msm_topk(idx, q, k=100_000, msm=1e-9, rank_round=6)
+    n_strict, n_loose = strict.count(), loose_all.count()
+    assert 0 < n_strict < n_loose, "conjunction must prune the candidate set"

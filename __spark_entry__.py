@@ -1524,6 +1524,106 @@ def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("score", 5).alias("score"))
 
 
+_QREL_CASE = ("CASE WHEN m = 0 THEN 3.0 WHEN m = 1 THEN 2.0 "
+              "WHEN m = 2 THEN 1.0 ELSE 0.0 END")
+
+
+def _q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded IR metrics (P@10 / MRR / nDCG@10) of the BM25 run against a
+    deterministic synthetic qrel set (rel = f((doc_id + query_id) % 5)
+    over doc_id < 500) — the engine's self-evaluation harness."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.exhaustive import ranking_metrics
+    from invertedfiles_jl_spark.operators.search import bm25_topk as _bt
+
+    idx = _index(spark, sf_dir, "bm25")
+    run = _bt(idx, queries_df(spark), k=10, rank_round=6).select(
+        "query_id", "rank", "doc_id")
+    qrels = (
+        spark.range(500).select(F.col("id").alias("doc_id"))
+        .crossJoin(queries_df(spark).select("query_id"))
+        .withColumn("m", (F.col("doc_id") + F.col("query_id")) % 5)
+        .withColumn("rel", F.expr(_QREL_CASE))
+        .filter(F.col("rel") > 0)
+        .select("query_id", "doc_id", "rel")
+    )
+    res = ranking_metrics(run, qrels, k=10)
+    return res.select(
+        "query_id",
+        F.round("p_at_k", 6).alias("p_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
+def _ranking_metrics_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_ranking_metrics` — BM25 run CTE, the same
+    synthetic qrels, identical metric arithmetic (ln(x)/ln(2) discount)."""
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= {k}
+),
+qrels AS (
+  SELECT * FROM (
+    SELECT q.query_id, d.doc_id,
+           {_QREL_CASE.replace('m =', '((d.doc_id + q.query_id) % 5) =')} AS rel
+    FROM (SELECT DISTINCT query_id FROM qt) q
+    CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 500) d
+  ) WHERE rel > 0
+),
+j AS (
+  SELECT run.query_id, run.rank,
+         coalesce(qrels.rel, 0.0) AS rel
+  FROM run LEFT JOIN qrels
+    ON run.query_id = qrels.query_id AND run.doc_id = qrels.doc_id
+),
+m AS (
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / {float(k)} AS p_at_k,
+         coalesce(1.0 / min(CASE WHEN rel > 0 THEN rank END), 0.0) AS mrr,
+         sum((pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+  FROM j GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, doc_id ASC) AS irank
+  FROM qrels
+  QUALIFY irank <= {k}
+),
+idcg AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1.0) / (ln(irank + 1.0) / ln(2.0))) AS idcg
+  FROM ideal GROUP BY query_id
+)
+SELECT m.query_id, round(p_at_k, 6) AS p_at_k, round(mrr, 6) AS mrr,
+       round(CASE WHEN coalesce(idcg, 0.0) > 0 THEN dcg / idcg
+             ELSE 0.0 END, 6) AS ndcg
+FROM m LEFT JOIN idcg ON m.query_id = idcg.query_id
+"""
+
+
 def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search (percolator): every (doc, standing query) pair where
     the doc contains ALL the query's in-vocab terms, scored with the
@@ -2537,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "streaming_bm25_topk": _q_streaming_topk,
         "percolate_matches": _q_percolate,
+        "ranking_metrics": _q_ranking_metrics,
         "embedding_near_dups": _q_emb_near_dups,
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "incremental_postings": _q_incremental_postings,
@@ -2639,6 +2740,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "hybrid_rrf_ivf_topk": _hybrid_rrf_ivf_sql(),
         "streaming_bm25_topk": _bm25_sql(),
         "percolate_matches": _percolate_sql(),
+        "ranking_metrics": _ranking_metrics_sql(),
         "embedding_near_dups": _osql.embedding_near_dups_sql(
             threshold=0.4, n_bands=16, band_width=4),
         "embedding_near_dups_exact": _osql.embedding_near_dups_sql(

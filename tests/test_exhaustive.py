@@ -189,3 +189,50 @@ def test_allknn_df_cap_bounds_candidates_and_rescoring_is_exact(spark):
     qp2 = solo.select(F.col("doc_id").alias("query_id"), "term",
                       F.col("weight").alias("qw"))
     assert allknn_candidates(idx2, qp2, df_cap=cap).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# graded ranking metrics
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_metrics_match_python(spark):
+    import math
+
+    from invertedfiles_jl_spark.operators.exhaustive import ranking_metrics
+
+    run_rows = [  # two queries; q2 has no relevant hits
+        (1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 40),
+        (2, 1, 50), (2, 2, 60),
+    ]
+    qrel_rows = [(1, 20, 3.0), (1, 40, 1.0), (1, 99, 2.0), (2, 99, 3.0)]
+    run = spark.createDataFrame(run_rows, "query_id long, rank int, doc_id long")
+    qrels = spark.createDataFrame(qrel_rows, "query_id long, doc_id long, rel double")
+    got = {r["query_id"]: (r["p_at_k"], r["mrr"], r["ndcg"])
+           for r in ranking_metrics(run, qrels, k=4).collect()}
+
+    def dcg(pairs):  # (rank, rel)
+        return sum((2.0 ** rel - 1.0) / (math.log(rk + 1.0) / math.log(2.0))
+                   for rk, rel in pairs)
+
+    d1 = dcg([(2, 3.0), (4, 1.0)])
+    i1 = dcg([(1, 3.0), (2, 2.0), (3, 1.0)])  # ideal over q1's judged docs
+    assert got[1][0] == pytest.approx(2 / 4)
+    assert got[1][1] == pytest.approx(1 / 2)
+    assert got[1][2] == pytest.approx(d1 / i1, abs=1e-12)
+    # q2: judged doc 99 never retrieved → all zeros
+    assert got[2] == (0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_perfect_run_is_ndcg_one(spark):
+    from invertedfiles_jl_spark.operators.exhaustive import ranking_metrics
+
+    qrels = spark.createDataFrame(
+        [(1, 7, 3.0), (1, 8, 2.0), (1, 9, 1.0)],
+        "query_id long, doc_id long, rel double")
+    run = spark.createDataFrame(
+        [(1, 1, 7), (1, 2, 8), (1, 3, 9)],
+        "query_id long, rank int, doc_id long")
+    r = ranking_metrics(run, qrels, k=3).collect()[0]
+    assert r["ndcg"] == pytest.approx(1.0)
+    assert r["mrr"] == 1.0 and r["p_at_k"] == pytest.approx(1.0)

@@ -1027,6 +1027,35 @@ def _q_auto_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
+def _q_route_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's EXPLAIN: decision inputs (matched-query count, Σ
+    matched-df) and the chosen plan for the fixed query batch."""
+    from invertedfiles_jl_spark.plans.router import route_explain
+
+    idx = _index(spark, sf_dir, "bm25")
+    return route_explain(idx, queries_df(spark))
+
+
+def _route_explain_sql(batch_threshold: int = 64,
+                       prune_threshold: int = 50_000) -> str:
+    """DuckDB mirror of :func:`_q_route_explain` — the same two stats from
+    the query-term ⋈ vocab relation and the same CASE rules."""
+    return f"""
+WITH {_BASE_CTES},
+s AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         CAST(sum(df) AS BIGINT) AS entries
+  FROM qt JOIN vocab ON qt.term = vocab.term
+)
+SELECT n_queries, entries,
+       CAST(entries AS DOUBLE) / n_queries AS entries_per_query,
+       CASE WHEN n_queries >= {batch_threshold} THEN 'sharded'
+            WHEN CAST(entries AS DOUBLE) / n_queries >= {prune_threshold}
+            THEN 'wand' ELSE 'plan_a' END AS plan
+FROM s
+"""
+
+
 def _q_collapsed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-collapsed BM25: best doc per (query, source), top-10 of the
     collapsed candidates — one result per source group."""
@@ -2613,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25_topk": _q_synonym_bm25,
         "collapsed_bm25_topk": _q_collapsed_bm25,
         "auto_bm25_topk": _q_auto_bm25,
+        "route_explain": _q_route_explain,
         "facet_histogram_chars": _q_facet_histogram,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
@@ -2714,6 +2744,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "synonym_bm25_topk": _synonym_bm25_sql(),
         "collapsed_bm25_topk": _collapsed_bm25_sql(),
         "auto_bm25_topk": _bm25_sql(),
+        "route_explain": _route_explain_sql(),
         "facet_histogram_chars": _facet_histogram_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),

@@ -107,3 +107,17 @@ def auto_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
 
         return wand_topk(index, queries, k=k, rank_round=rank_round)
     return bm25_topk(index, queries, k=k, rank_round=rank_round)
+
+
+def route_explain(index: InvertedIndex, queries: DataFrame,
+                  batch_threshold: int = DEFAULT_BATCH_THRESHOLD,
+                  prune_threshold: int = DEFAULT_PRUNE_THRESHOLD) -> DataFrame:
+    """One-row DataFrame exposing the routing decision AND its inputs —
+    (n_queries, entries, entries_per_query, plan) — so deployments can log
+    why a batch went where (the EXPLAIN of the router)."""
+    s = batch_stats(index, queries)
+    plan = route_plan(index, queries, batch_threshold, prune_threshold)
+    spark = queries.sparkSession
+    return spark.createDataFrame(
+        [(s["n_queries"], s["entries"], float(s["entries_per_query"]), plan)],
+        "n_queries long, entries long, entries_per_query double, plan string")

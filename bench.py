@@ -61,6 +61,27 @@ def gen_queries(spark, n=N_QUERIES):
     return spark.createDataFrame(rows, "query_id long, content string")
 
 
+def gen_needles(spark, n=N_QUERIES):
+    """Deterministic n-needle batch for the substring index: in-word and
+    cross-word fragments of the bench vocabulary (no RNG)."""
+    terms = ["scan", "column", "window", "order", "sort", "part", "agg",
+             "value", "line", "key", "join", "merge", "query", "group",
+             "vector", "hash", "slow", "stream", "filter", "fast", "spark",
+             "batch", "table", "small", "data", "big", "customer", "row"]
+    rows = []
+    for i in range(n):
+        a = terms[i % len(terms)]
+        b = terms[(i * 3 + 1) % len(terms)]
+        if i % 3 == 0:
+            needle = a[1:] if len(a) > 3 else a
+        elif i % 3 == 1:
+            needle = f"{a} {b[:3]}"
+        else:
+            needle = f"{a[-2:]} {b}"
+        rows.append((i + 1, needle))
+    return spark.createDataFrame(rows, "query_id long, needle string")
+
+
 def gen_phrases(spark, corpus, n=N_QUERIES):
     """Deterministic n-phrase batch: real bigrams lifted from evenly-spaced
     corpus docs (tokens 3-4 of each sampled doc), so phrase hits exist but
@@ -333,6 +354,27 @@ def run_once(cpus: int) -> dict:
             phrase_topk, pos, pdf, k=10, vocab=idx.vocab)
         out["proximity_100q"] = timed_query(
             proximity_topk, pos, pdf, k=10, max_span=8)
+
+        # trigram substring index — the third index family (build persisted;
+        # the query row times rarest-gram candidates + exact verify)
+        from invertedfiles_jl_spark.operators.trigram import (
+            TrigramIndex,
+            build_trigram_index,
+            substring_search,
+        )
+
+        ndf = gen_needles(spark)
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            build_trigram_index(corpus).postings.write.mode(
+                "overwrite").parquet(f"{tmp}/tri{i}")
+            ts.append(time.perf_counter() - t0)
+        out["build_trigram"] = min(ts)
+        tri = TrigramIndex(postings=spark.read.parquet(f"{tmp}/tri2"),
+                           corpus=corpus)
+        tri.postings.count()
+        out["substring_100q"] = timed_query(substring_search, tri, ndf)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

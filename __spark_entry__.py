@@ -2598,6 +2598,255 @@ FROM ranked WHERE pair_rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# scoring families beyond BM25 (LM Dirichlet, SMART tf-idf), cursor
+# pagination, per-facet top hits, sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_LM_MU = 2000.0
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def _q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood LM retrieval with Dirichlet smoothing over the
+    raw-tf index (operators/search.lm_dirichlet_topk)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import lm_dirichlet_topk
+
+    idx = _index(spark, sf_dir, "tf")
+    res = lm_dirichlet_topk(idx, queries_df(spark), k=10, mu=_LM_MU,
+                            rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _lm_dirichlet_sql(k: int = 10, mu: float = _LM_MU) -> str:
+    """DuckDB mirror of :func:`_q_lm_dirichlet` — identical expression
+    tree: ln(1 + (tf · T) / (μ · cf)) per matched term, plus the per-query
+    |q| · ln(μ / (μ + doc_len)) length term.  OOV query terms drop (no
+    smoothing mass) and are excluded from |q|."""
+    return f"""
+WITH {_BASE_CTES},
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS T FROM dl),
+qv AS (
+  SELECT query_id, qt.term, qtf, cf
+  FROM qt JOIN vocab ON qt.term = vocab.term
+),
+qlen AS (SELECT query_id, CAST(sum(qtf) AS BIGINT) AS qlen FROM qv GROUP BY query_id),
+part AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * ln(1.0 + (CAST(tf AS DOUBLE) * T) / ({mu!r} * cf))) AS part
+  FROM qv JOIN tf ON qv.term = tf.term CROSS JOIN tot
+  GROUP BY query_id, tf.doc_id
+),
+scored AS (
+  SELECT part.query_id, part.doc_id,
+         part + qlen * ln({mu!r} / ({mu!r} + doc_len)) AS score
+  FROM part
+  JOIN dl ON part.doc_id = dl.doc_id
+  JOIN qlen ON part.query_id = qlen.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMART lnc.ltc tf-idf cosine retrieval (operators/search.tfidf_topk)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import tfidf_topk
+
+    idx = _index(spark, sf_dir, "tf")
+    res = tfidf_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _tfidf_sql(k: int = 10) -> str:
+    """DuckDB mirror of :func:`_q_tfidf` — lnc doc vectors, ltc query
+    vectors, cosine.  idf = ln(N / df); OOV query terms drop from both the
+    weights and the query norm."""
+    return f"""
+WITH {_BASE_CTES},
+lnc AS (
+  SELECT doc_id,
+         sqrt(sum((1.0 + ln(tf)) * (1.0 + ln(tf)))) AS lnc_norm
+  FROM tf GROUP BY doc_id
+),
+qw AS (
+  SELECT query_id, qt.term,
+         (1.0 + ln(qtf)) * ln(n_docs / df) AS qw
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+qn AS (
+  SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY query_id
+),
+qnw AS (
+  SELECT qw.query_id, term, qw / qn AS w
+  FROM qw JOIN qn ON qw.query_id = qn.query_id
+),
+dot AS (
+  SELECT query_id, tf.doc_id,
+         sum(w * (1.0 + ln(tf))) AS dot
+  FROM qnw JOIN tf ON qnw.term = tf.term
+  GROUP BY query_id, tf.doc_id
+),
+scored AS (
+  SELECT query_id, dot.doc_id, dot / lnc_norm AS score
+  FROM dot JOIN lnc ON dot.doc_id = lnc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination: page 1's rank-10 row becomes each query's
+    search_after cursor; the operator returns the next 10 docs WITHOUT
+    ranking past depth k (operators/search.search_after_topk).  Queries
+    with < 10 page-1 results have no cursor and emit no page-2 rows."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import search_after_topk
+
+    idx = _index(spark, sf_dir, "bm25")
+    page1 = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    cursor = page1.filter(F.col("rank") == 10).select(
+        "query_id", F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"))
+    res = search_after_topk(idx, queries_df(spark), cursor, k=10,
+                            rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _search_after_sql(k: int = 10) -> str:
+    """Oracle: the globally ranked BM25 list's rows (10, 20], re-numbered
+    1..k — exactly what walking past the rank-10 cursor must return."""
+    base = _bm25_sql(k=10_000_000)  # full ranked relation, no page cut
+    return f"""
+WITH full_rank AS ({base})
+SELECT query_id, CAST(rank - 10 AS INTEGER) AS rank, doc_id, score
+FROM full_rank
+WHERE rank > 10 AND rank <= 10 + {k}
+  AND query_id IN (SELECT query_id FROM full_rank WHERE rank = 10)
+"""
+
+
+def _q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-facet-bucket top hits: for each query, the 3 largest lang
+    buckets of the matched set and each bucket's best 2 docs by BM25
+    (operators/search.facet_top_hits)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import facet_top_hits
+
+    idx = _index(spark, sf_dir, "bm25")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = facet_top_hits(idx, queries_df(spark), docs, facet_col="lang",
+                         k_buckets=3, k_hits=2, rank_round=6)
+    return res.select("query_id", "facet", "hit_rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _facet_top_hits_sql(k_buckets: int = 3, k_hits: int = 2) -> str:
+    return f"""
+WITH {_BASE_CTES},
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * (1.2 + 1.0)
+             / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+m AS (
+  SELECT scored.*, lang AS facet
+  FROM scored JOIN documents ON scored.doc_id = documents.doc_id
+),
+counts AS (
+  SELECT query_id, facet, count(*) AS n_docs
+  FROM m GROUP BY query_id, facet
+),
+tb AS (
+  SELECT query_id, facet
+  FROM (SELECT query_id, facet,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY n_docs DESC, facet ASC) AS facet_rank
+        FROM counts)
+  WHERE facet_rank <= {k_buckets}
+),
+hits AS (
+  SELECT m.query_id, m.facet,
+         CAST(row_number() OVER (PARTITION BY m.query_id, m.facet
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER)
+           AS hit_rank,
+         doc_id, round(score, 5) AS score
+  FROM m JOIN tb ON m.query_id = tb.query_id AND m.facet = tb.facet
+)
+SELECT query_id, facet, hit_rank, doc_id, score
+FROM hits WHERE hit_rank <= {k_hits}
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk manifest over the documents table
+    (operators/packing.chunk_documents): window 64 tokens, stride 48
+    (overlap 16)."""
+    from invertedfiles_jl_spark.operators.packing import chunk_documents
+
+    corpus = _corpus(spark, sf_dir)
+    return chunk_documents(corpus, window=_CHUNK_W, stride=_CHUNK_S,
+                           cfg=IndexConfig(), content_col="content")
+
+
+def _chunk_documents_sql(window: int = _CHUNK_W, stride: int = _CHUNK_S) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS toks FROM documents
+),
+t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+             0, CAST(ceil(greatest(n - {window}, 0) / {stride}) AS BIGINT)))
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {stride} AS BIGINT) AS begin_tok,
+       CAST(least({window}, n - chunk_idx * {stride}) AS BIGINT) AS chunk_len,
+       sha256(array_to_string(
+           toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}],
+           ' ')) AS chunk_sha256
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -2696,6 +2945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": _q_contamination,
         "suggest_corrections": _q_suggest_corrections,
         "term_cooccurrence": _q_term_cooccurrence,
+        "lm_dirichlet_topk": _q_lm_dirichlet,
+        "tfidf_topk": _q_tfidf,
+        "search_after_topk": _q_search_after,
+        "facet_top_hits": _q_facet_top_hits,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2811,6 +3065,11 @@ SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
         "benchmark_contamination": _contamination_sql(),
         "suggest_corrections": _suggest_corrections_sql(),
         "term_cooccurrence": _term_cooccurrence_sql(),
+        "lm_dirichlet_topk": _lm_dirichlet_sql(),
+        "tfidf_topk": _tfidf_sql(),
+        "search_after_topk": _search_after_sql(),
+        "facet_top_hits": _facet_top_hits_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -27,8 +27,10 @@ class IndexConfig:
     weighting:
         ``"bm25"`` (north rule), ``"normcosine"`` (reference parity —
         /root/reference/src/winvfile.jl:30 fixes the distance to
-        ``Dist.NormCosine``), or ``"binary"`` (BinaryInvertedFile,
-        /root/reference/src/binvfile.jl:17-24 — weights dropped).
+        ``Dist.NormCosine``), ``"binary"`` (BinaryInvertedFile,
+        /root/reference/src/binvfile.jl:17-24 — weights dropped), or
+        ``"tf"`` (raw term frequency — for scorers whose doc weight is not
+        build-time foldable: LM Dirichlet, SMART lnc.ltc tf-idf).
     tol:
         Near-zero weight pruning threshold, applied at build and query
         like the reference (/root/reference/src/invfile.jl:152,

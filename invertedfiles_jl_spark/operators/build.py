@@ -183,6 +183,12 @@ def weighted_pairs(tf: DataFrame, docs: DataFrame, stats: dict, cfg: IndexConfig
     key = "term_id" if "term_id" in tf.columns else "term"
     if cfg.weighting == "binary":
         weighted = tf.select("doc_id", key, F.lit(1.0).cast(wt).alias("weight"))
+    elif cfg.weighting == "tf":
+        # raw term frequency — the scheme-agnostic store used by scorers
+        # whose document weight is NOT query-independent-foldable (LM
+        # Dirichlet needs tf and doc_len separately; SMART lnc needs the
+        # log-tf norm).  Same postings layout, weight column = tf.
+        weighted = tf.select("doc_id", key, F.col("tf").cast(wt).alias("weight"))
     elif cfg.weighting == "normcosine":
         weighted = tf.join(docs.select("doc_id", "norm"), "doc_id").select(
             "doc_id", key,

@@ -108,3 +108,54 @@ def pack_sequences(corpus: DataFrame, ctx: int, cfg: IndexConfig | None = None,
             F.greatest(F.lit(0), s - sh * ctx).alias("offset_in_shard"),
         )
     )
+
+
+def chunk_documents(corpus: DataFrame, window: int, stride: int,
+                    cfg: IndexConfig | None = None,
+                    content_col: str = "content") -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-context
+    preprocessing step: split each doc's token stream into chunks of
+    ``window`` tokens advancing by ``stride`` (overlap = window − stride).
+
+    Returns (doc_id, chunk_idx, begin_tok, chunk_len, chunk_sha256) where
+    ``begin_tok = chunk_idx · stride`` (0-based token offset),
+    ``chunk_len = min(window, n_tokens − begin_tok)``, and ``chunk_sha256``
+    is the digest of the chunk's tokens re-joined with single spaces (the
+    canonical form — deterministic across engines regardless of the
+    original whitespace).  Chunk count per doc is
+    ``1 + ceil(max(0, n − window) / stride)``: every token is covered, the
+    final chunk is the only one allowed to be short, and a short trailing
+    remainder that is fully contained in the previous window does NOT
+    produce an extra all-overlap chunk.  Zero-token docs emit no rows.
+
+    Scale shape: tokenize once per doc (the same split the index build
+    uses), then pure column math — ``sequence`` + ``explode`` bounded by
+    n/stride per doc, ``slice`` + ``array_join`` + ``sha2`` all inside
+    whole-stage codegen.  No shuffle at all: the operator is a flatMap in
+    relational clothing, so it scales with input bytes and parallelizes by
+    file split regardless of corpus size."""
+    assert window >= 1 and 1 <= stride <= window, "need 1 <= stride <= window"
+    cfg = cfg or IndexConfig()
+    from invertedfiles_jl_spark.functions.tokenize import tokens_sql
+
+    toks = corpus.select(
+        "doc_id", F.expr(tokens_sql(content_col, cfg)).alias("toks"))
+    toks = toks.withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.col("n") - window, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    out = toks.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    begin = (F.col("chunk_idx").cast("long") * stride).alias("begin_tok")
+    chunk_len = F.least(F.lit(window).cast("long"),
+                        F.col("n") - F.col("chunk_idx") * stride)
+    piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, window)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        begin,
+        chunk_len.cast("long").alias("chunk_len"),
+        F.sha2(F.array_join(piece, " "), 256).alias("chunk_sha256"),
+    )

@@ -944,3 +944,169 @@ def suggest_terms(index: InvertedIndex, prefixes: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "term", "cf")
     )
+
+
+def lm_dirichlet_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+                      mu: float = 2000.0,
+                      rank_round: int | None = None) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet smoothing
+    (Zhai & Lafferty 2001) — a second scoring family beside BM25, served
+    from a raw-tf index (``weighting="tf"``):
+
+        score(q, d) = Σ_{t ∈ q∩d} qtf_t · ln(1 + tf_td · T / (μ · cf_t))
+                      + |q| · ln(μ / (μ + len_d))
+
+    where T = Σ doc_len (collection token count), cf_t = collection
+    frequency from vocab, and |q| = Σ qtf over the query's IN-VOCAB terms
+    (an OOV term has p(t|C) = 0 — it cannot be smoothed and is dropped,
+    which also preserves the engine-wide empty-Q ⇒ empty-result contract).
+    Matched-docs-only semantics, like every sparse top-k here: a doc
+    sharing no term with q never enters the pool.
+
+    Plan shape = :func:`bm25_topk` plus one AQE-sized join of the scored
+    candidates against the doc-stats relation for ``doc_len`` (candidates
+    are bounded by Σ df, NOT broadcastable for a hot query at 10^12 docs)
+    and one broadcast of the per-query |q| row.  The smoothed-background
+    term factors through ln(1 + tf·T/(μ·cf)) so Spark and the oracle
+    evaluate literally the same IEEE expression tree."""
+    assert index.cfg.weighting == "tf", "index not built with tf weighting"
+    total_tokens = int(index.docs.agg(F.sum("doc_len")).first()[0] or 0)
+    qt = query_terms(queries, index.cfg)
+    # in-vocab filter + cf attach (inner join drops OOV)
+    qv = index.vocab.select("term_id", "cf").join(F.broadcast(qt), "term_id").select(
+        "query_id", "term_id", "qtf", "cf")
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
+    m = _matched(index, qv)
+    part = m.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.col("qtf")
+            * F.log(F.lit(1.0) + F.col("weight") * F.lit(float(total_tokens))
+                    / (F.lit(float(mu)) * F.col("cf")))
+        ).alias("part"))
+    scored = (
+        part.join(index.docs.select("doc_id", "doc_len"), "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id", "doc_id",
+            (F.col("part")
+             + F.col("qlen") * F.log(F.lit(float(mu))
+                                     / (F.lit(float(mu)) + F.col("doc_len")))
+             ).alias("score"))
+    )
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
+def tfidf_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+               rank_round: int | None = None) -> DataFrame:
+    """Classic SMART lnc.ltc tf-idf cosine retrieval over a raw-tf index:
+
+        doc side  (lnc):  w_d(t) = (1 + ln tf_td) / ‖(1 + ln tf_d·)‖₂
+        query side (ltc): w_q(t) = (1 + ln qtf_t) · ln(N / df_t),
+                          normalized by the query's own L2 norm
+        score = Σ w_q(t) · w_d(t)   (cosine; descending)
+
+    The lnc norm is over ALL of the doc's terms, so it cannot be folded at
+    build time per-posting the way BM25's sat_tf is (it changes when any
+    term of the doc changes) — it is derived with ONE scan over the cached
+    postings table: explode → partial+final groupBy(doc_id) L2 of
+    (1 + ln tf).  At serve scale that derived (doc_id, lnc_norm) relation
+    is built once per index version alongside doc-stats, not per query.
+    Query-side weights are Q-row tiny and broadcast.  OOV query terms drop
+    via the vocab inner join (idf undefined at df = 0) and are likewise
+    excluded from the query norm, keeping the score a true cosine of the
+    two realizable vectors."""
+    assert index.cfg.weighting == "tf", "index not built with tf weighting"
+    n = float(index.stats["n_docs"])
+    one_plus_ln = F.lit(1.0) + F.log(F.col("weight"))
+    lnc_norm = (
+        index.postings.select(
+            F.explode(F.arrays_zip("doc_ids", "weights")).alias("e"))
+        .select(F.col("e.doc_ids").alias("doc_id"),
+                F.col("e.weights").alias("weight"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(one_plus_ln * one_plus_ln)).alias("lnc_norm"))
+    )
+    qt = query_terms(queries, index.cfg)
+    qw = index.vocab.select("term_id", "df").join(F.broadcast(qt), "term_id").select(
+        "query_id", "term_id",
+        ((F.lit(1.0) + F.log(F.col("qtf")))
+         * F.log(F.lit(n) / F.col("df"))).alias("qw"))
+    qnorm = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
+    qn = qw.join(qnorm, "query_id").select(
+        "query_id", "term_id", (F.col("qw") / F.col("qn")).alias("qtf"))
+    m = _matched(index, qn)  # qtf carries the normalized query weight
+    dot = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("qtf") * (F.lit(1.0) + F.log(F.col("weight")))).alias("dot"))
+    scored = dot.join(lnc_norm, "doc_id").select(
+        "query_id", "doc_id", (F.col("dot") / F.col("lnc_norm")).alias("score"))
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
+def search_after_topk(index: InvertedIndex, queries: DataFrame,
+                      cursor: DataFrame, k: int = 10,
+                      rank_round: int = 6) -> DataFrame:
+    """Cursor-based deep pagination (Elasticsearch ``search_after`` analog)
+    for BM25: given each query's last-seen (score, doc_id) boundary, return
+    the next ``k`` docs strictly after it in (round(score, rank_round)
+    DESC, doc_id ASC) order.
+
+    Unlike OFFSET pagination (:func:`topk` with ``offset``), the window
+    never ranks past depth ``k``: the boundary predicate drops everything
+    at-or-before the cursor BEFORE the window, so page 1000 costs the same
+    bounded heap as page 1 — the scalable way to walk deep result sets.
+    The cursor comparison uses the ROUNDED score (the same key the rank
+    ordering uses), so the page boundary is exactly reproducible across
+    engines.  ``cursor``: (query_id, after_score, after_doc_id), one row
+    per query (Q rows → broadcast).  Emitted ``rank`` restarts at 1 for
+    the page (ranks are cursor-relative by design — absolute depth is
+    unknowable without counting, which is the thing search_after avoids)."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    scored = _bm25_scored(index, queries).drop("n_matched")
+    key = F.round(F.col("score"), rank_round)
+    ck = F.round(F.col("after_score"), rank_round)
+    after = scored.join(F.broadcast(cursor), "query_id").filter(
+        (key < ck) | ((key == ck) & (F.col("doc_id") > F.col("after_doc_id"))))
+    return topk(after.select("query_id", "doc_id", "score"), k, "score",
+                ascending=False, rank_round=rank_round)
+
+
+def facet_top_hits(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
+                   facet_col: str = "lang", k_buckets: int = 5,
+                   k_hits: int = 2,
+                   rank_round: int | None = None) -> DataFrame:
+    """Per-facet-bucket top hits (Elasticsearch ``top_hits`` sub-aggregation
+    analog): for each query, take the ``k_buckets`` largest buckets of
+    ``facet_col`` over the matched candidate set (same bucket ranking as
+    :func:`facet_counts` — n_docs desc, facet asc) and emit each bucket's
+    best ``k_hits`` docs by BM25 (score desc, doc_id asc).
+
+    Returns (query_id, facet, hit_rank, doc_id, score).
+
+    Plan shape: ONE scoring pass (:func:`_bm25_scored`) feeds both the
+    bucket ranking and the hit ranking — candidates ⋈ doc-keyed metadata
+    (AQE-sized), a per-(query, facet) count + window for the bucket cut,
+    then a (query, facet)-partitioned WindowGroupLimit for the hits.  Per
+    query the output is ≤ k_buckets · k_hits rows; nothing rescans
+    postings."""
+    assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
+    scored = _bm25_scored(index, queries).drop("n_matched")
+    m = scored.join(meta.select("doc_id", F.col(facet_col).alias("facet")),
+                    "doc_id")
+    counts = m.groupBy("query_id", "facet").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("n_docs").desc(), F.col("facet").asc())
+    top_buckets = (counts.withColumn("facet_rank", F.row_number().over(wb))
+                   .filter(F.col("facet_rank") <= k_buckets)
+                   .select("query_id", "facet"))
+    key = (F.round(F.col("score"), rank_round)
+           if rank_round is not None else F.col("score"))
+    wh = Window.partitionBy("query_id", "facet").orderBy(
+        key.desc(), F.col("doc_id").asc())
+    hits = m.join(top_buckets, ["query_id", "facet"], "left_semi")
+    return (
+        hits.withColumn("hit_rank", F.row_number().over(wh))
+        .filter(F.col("hit_rank") <= k_hits)
+        .select("query_id", "facet", "hit_rank", "doc_id", "score")
+    )

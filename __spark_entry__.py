@@ -2847,6 +2847,96 @@ FROM c
 """
 
 
+def _q_symbol_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol search — the code-payload analyzer: identifier subtoken
+    normalization (camelCase / PascalCase / snake_case → subtokens,
+    functions/tokenize.symbol_normalize_sql) so plain-word queries retrieve
+    docs that only contain the fused identifiers.  The corpus is the
+    deterministic identifier-styled rewrite of documents
+    (sources/corpus.symbolized_from_documents): plain BM25 over the raw
+    rewrite scores ZERO for every query — every hit here is attributable
+    to the normalizer."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.tokenize import symbol_normalize_sql
+    from invertedfiles_jl_spark.sources.corpus import symbolized_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = symbolized_from_documents(docs).select(
+        "doc_id", F.expr(symbol_normalize_sql("content")).alias("content"))
+    cfg = IndexConfig(weighting="bm25", weight_dtype="double")
+    idx = build_index(corpus, cfg)
+    res = bm25_topk(idx, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _symbol_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`_q_symbol_bm25`: the same symbolize →
+    subtoken-normalize → tokenize → BM25 pipeline in SQL."""
+    from invertedfiles_jl_spark.functions.tokenize import (
+        duckdb_symbol_normalize_sql,
+    )
+    from invertedfiles_jl_spark.sources.corpus import (
+        SYMBOLIZED_FROM_DOCUMENTS_DUCKDB,
+    )
+
+    norm = duckdb_symbol_normalize_sql("content")
+    return f"""
+WITH sym AS ({SYMBOLIZED_FROM_DOCUMENTS_DUCKDB}),
+normed AS (SELECT doc_id, {norm} AS content FROM sym),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(content, '\\s+'), t -> t != ''))
+           AS term
+  FROM normed
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM normed) AS n_docs,
+         (SELECT avg(doc_len) FROM dl) AS avgdl
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+qtok AS (
+  SELECT query_id, unnest({_TOK.format(col='content')}) AS term
+  FROM {queries_values_sql()}
+),
+qt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, qt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM qt JOIN vocab ON qt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -2950,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": _q_search_after,
         "facet_top_hits": _q_facet_top_hits,
         "chunk_documents": _q_chunk_documents,
+        "symbol_bm25_topk": _q_symbol_bm25,
     }
 
 
@@ -3070,6 +3161,7 @@ SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
         "search_after_topk": _search_after_sql(),
         "facet_top_hits": _facet_top_hits_sql(),
         "chunk_documents": _chunk_documents_sql(),
+        "symbol_bm25_topk": _symbol_bm25_sql(),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -113,3 +113,35 @@ def code_tokens_udf():
 
     _tok.__annotations__ = {"content": pd.Series, "return": pd.Series}
     return pandas_udf(_tok, "array<string>")
+
+
+# ---------------------------------------------------------------------------
+# Identifier subtoken normalization (symbol search) — code-payload analyzer:
+# camelCase / PascalCase / snake_case identifiers split into their subtokens
+# so "read file" retrieves readFile, ReadFile and read_file.  Two regex
+# rules (the classic Lucene WordDelimiterFilter core):
+#   1. lower-or-digit → Upper boundary          fooBar   → foo Bar
+#   2. CAPS-run → Cap+lower boundary            HTTPServer → HTTP Server
+# then underscores become spaces and the result is lowercased.  All three
+# rewrites are plain regexp_replace — JVM-side, inside codegen, and
+# expressible verbatim in DuckDB for oracle parity (only the backreference
+# spelling differs: Spark `$1`, DuckDB `\1`).
+# ---------------------------------------------------------------------------
+
+_SYM_RULE1 = r"([a-z0-9])([A-Z])"
+_SYM_RULE2 = r"([A-Z]+)([A-Z][a-z])"
+
+
+def symbol_normalize_sql(content_sql: str) -> str:
+    """Spark-SQL expression: subtoken-normalized, lowercased content."""
+    r1 = f"regexp_replace({content_sql}, '{_SYM_RULE1}', '$1 $2')"
+    r2 = f"regexp_replace({r1}, '{_SYM_RULE2}', '$1 $2')"
+    return f"lower(replace({r2}, '_', ' '))"
+
+
+def duckdb_symbol_normalize_sql(content_sql: str) -> str:
+    """The same normalization as DuckDB SQL ('g' = global, like Spark's
+    default)."""
+    r1 = f"regexp_replace({content_sql}, '{_SYM_RULE1}', '\\1 \\2', 'g')"
+    r2 = f"regexp_replace({r1}, '{_SYM_RULE2}', '\\1 \\2', 'g')"
+    return f"lower(replace({r2}, '_', ' '))"

@@ -82,3 +82,46 @@ def assign_doc_ids(corpus: DataFrame) -> DataFrame:
         part.withColumn("doc_id", off[F.col("_pid")] + F.row_number().over(w) - 1)
         .drop("_pid")
     )
+
+
+def symbolized_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, content) where content is an identifier-styled
+    rewrite of the text: adjacent token pairs fuse into identifiers,
+    alternating snake_case (pair 1, 3, …) and camelCase (pair 2, 4, …) —
+    ``"spark window merge sort" → "spark_window mergeSort"``.  A trailing
+    odd token is dropped.  Deterministic, pure column math, mirrored
+    verbatim by :data:`SYMBOLIZED_FROM_DOCUMENTS_DUCKDB` — the fixture that
+    makes symbol-search (subtoken-normalized) retrieval testable on the
+    sandbox tables: querying the ORIGINAL words must retrieve docs whose
+    content only contains the fused identifiers."""
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+    pairs = (
+        "transform(sequence(1, int(floor(size(toks) / 2))), i -> "
+        "CASE WHEN i % 2 = 1 "
+        "THEN concat(element_at(toks, 2*i-1), '_', element_at(toks, 2*i)) "
+        "ELSE concat(element_at(toks, 2*i-1), "
+        "upper(substring(element_at(toks, 2*i), 1, 1)), "
+        "substring(element_at(toks, 2*i), 2)) END)"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN size(toks) >= 2 THEN concat_ws(' ', {pairs}) "
+            "ELSE '' END AS content")
+    )
+
+
+SYMBOLIZED_FROM_DOCUMENTS_DUCKDB = """
+SELECT doc_id,
+       CASE WHEN len(toks) >= 2 THEN array_to_string(
+         list_transform(generate_series(1, CAST(floor(len(toks) / 2) AS BIGINT)), i ->
+           CASE WHEN i % 2 = 1
+                THEN toks[2*i-1] || '_' || toks[2*i]
+                ELSE toks[2*i-1] || upper(substr(toks[2*i], 1, 1)) || substr(toks[2*i], 2)
+           END), ' ')
+       ELSE '' END AS content
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM documents)
+"""

@@ -212,3 +212,39 @@ def test_tf_weighting_stores_raw_tf(tf_index, corpus):
     tfs = _tfs()
     expected = {(t, d): float(v) for d, c in tfs.items() for t, v in c.items()}
     assert got == expected
+
+
+def test_symbol_normalization_is_what_makes_hits(spark, documents):
+    """Attribution: over the identifier-styled corpus, plain BM25 finds
+    NOTHING for the word queries; the subtoken normalizer finds plenty."""
+    from invertedfiles_jl_spark.functions.tokenize import symbol_normalize_sql
+    from invertedfiles_jl_spark.sources.corpus import symbolized_from_documents
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    sym = symbolized_from_documents(documents)
+    cfg = IndexConfig(weighting="bm25", weight_dtype="double")
+    raw_idx = build_index(sym, cfg)
+    assert bm25_topk(raw_idx, queries_df(spark), k=10).count() == 0
+    normed = sym.select(
+        "doc_id", F.expr(symbol_normalize_sql("content")).alias("content"))
+    idx = build_index(normed, cfg)
+    assert bm25_topk(idx, queries_df(spark), k=10).count() > 50
+
+
+def test_symbol_normalizer_cases(spark):
+    from invertedfiles_jl_spark.functions.tokenize import (
+        duckdb_symbol_normalize_sql,
+        symbol_normalize_sql,
+    )
+
+    raw = "readFile HTTPServer my_snake_var XMLHttpRequest plainword A1bC2d"
+    want = "read file http server my snake var xml http request plainword a1b c2d"
+    got = (spark.createDataFrame([(raw,)], "c string")
+           .selectExpr(symbol_normalize_sql("c") + " AS s").first().s)
+    assert got == want
+    import duckdb
+
+    got_duck = duckdb.sql(
+        "SELECT " + duckdb_symbol_normalize_sql(f"'{raw}'") + " AS s"
+    ).fetchone()[0]
+    assert got_duck == want

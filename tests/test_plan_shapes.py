@@ -369,3 +369,67 @@ def test_regex_termvectors_significant_substring_no_smj(spark, served,
     for df in plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
+
+
+def test_scoring_families_plans(spark, documents):
+    """Third batch: LM Dirichlet and SMART tf-idf (raw-tf index) keep the
+    query side broadcast, rank through a WindowGroupLimit, and never
+    cartesian.  The doc-stats / lnc-norm joins are AQE-sized BY DESIGN
+    (candidates bounded by Σ df are not broadcastable at 10^12 docs), so
+    no no-SMJ assertion on them — the gates here are the ones that must
+    hold at EVERY scale."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.build import build_index
+    from invertedfiles_jl_spark.operators.search import (
+        lm_dirichlet_topk,
+        tfidf_topk,
+    )
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    idx = build_index(corpus, IndexConfig(weighting="tf"))
+    for df in (lm_dirichlet_topk(idx, queries_df(spark), k=10),
+               tfidf_topk(idx, queries_df(spark), k=10)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # the query-term probe
+
+
+def test_search_after_facet_hits_plans(spark, served, documents):
+    """Cursor pagination: the boundary filter must sit BELOW the top-k
+    window (never rank past depth k) with the Q-row cursor broadcast; the
+    per-facet top-hits window must be the WindowGroupLimit form too."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import (
+        facet_top_hits,
+        search_after_topk,
+    )
+
+    idx, _ = served
+    cursor = spark.createDataFrame(
+        [(1, 0.5, 100), (2, 0.4, 200)],
+        "query_id long, after_score double, after_doc_id long")
+    sa = search_after_topk(idx, queries_df(spark), cursor, k=10)
+    plan = formatted_plan(sa)
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    fth = facet_top_hits(idx, queries_df(spark), documents, k_buckets=3,
+                         k_hits=2)
+    plan = fth._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_shuffle_free(spark, documents):
+    """The chunk manifest is a flatMap in relational clothing: ZERO
+    exchanges — it must scale with input bytes only."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.packing import chunk_documents
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    plan = chunk_documents(corpus, 64, 48)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "Exchange" not in plan

@@ -2937,6 +2937,25 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_federated_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-federated BM25 (operators/search.federated_bm25_topk): the
+    corpus split into two independently-built raw-tf segments by doc_id
+    parity, queried with global collection stats.  The oracle is the PLAIN
+    monolithic BM25 SQL — a value-hash match proves segmentation is
+    rank-AND-score invisible."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import federated_bm25_topk
+
+    corpus = _corpus(spark, sf_dir)
+    cfg = IndexConfig(weighting="tf", weight_dtype="double")
+    segs = [build_index(corpus.filter(F.col("doc_id") % 2 == p), cfg)
+            for p in (0, 1)]
+    res = federated_bm25_topk(segs, queries_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_bm25(spark, "/root/testdata/sf0.001")
@@ -3041,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_top_hits": _q_facet_top_hits,
         "chunk_documents": _q_chunk_documents,
         "symbol_bm25_topk": _q_symbol_bm25,
+        "federated_bm25_topk": _q_federated_bm25,
     }
 
 
@@ -3162,6 +3182,7 @@ SELECT DISTINCT term, doc_id FROM tf WHERE NOT ({_DELETE_PRED})
         "facet_top_hits": _facet_top_hits_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "symbol_bm25_topk": _symbol_bm25_sql(),
+        "federated_bm25_topk": _bm25_sql(),
         "allknn_sample": f"""
 WITH {_BASE_CTES},
 np AS (

@@ -1110,3 +1110,69 @@ def facet_top_hits(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
         .filter(F.col("hit_rank") <= k_hits)
         .select("query_id", "facet", "hit_rank", "doc_id", "score")
     )
+
+
+def federated_bm25_topk(segments: list[InvertedIndex], queries: DataFrame,
+                        k: int = 10, rank_round: int | None = None,
+                        t: int = 1) -> DataFrame:
+    """Segment-federated BM25 — the Lucene/Elasticsearch serving
+    architecture: the corpus lives in N independently-built index segments
+    (e.g. a large cold segment plus small fresh ones from the streaming
+    appender) and a query fans out to every segment, scores with GLOBAL
+    collection statistics, and merges one top-k.  Rank-identical to a
+    single monolithic index over the union corpus — segmentation must be
+    invisible (the driver row's oracle is literally the plain BM25 SQL).
+
+    Why segments must be raw-tf (``weighting="tf"``): the bm25 build folds
+    sat_tf with the SEGMENT's avgdl at build time, which poisons federated
+    scores; with raw tf stored, sat_tf is computed here with the global
+    avgdl (a pure column expression over tf and doc_len), so adding a
+    segment never requires re-folding the others — the whole point of
+    segmented maintenance.  Contract: doc_ids are globally unique across
+    segments.
+
+    Scale shape: global stats are one summed vocab aggregation (df is
+    additive across disjoint segments) plus one long-sum per segment's
+    doc-stats — no data-sized collect.  Per segment the probe is the
+    standard broadcast ``_matched`` join; branches union BEFORE the single
+    (query, doc) aggregation, so the plan is S broadcast-join branches →
+    Union → one partial+final agg → WindowGroupLimit: per-batch shuffle
+    rows stay bounded by Σ df over segments = the monolithic bound."""
+    assert segments, "need at least one segment"
+    for s in segments:
+        assert s.cfg.weighting == "tf", "federated segments must store raw tf"
+    cfg = segments[0].cfg
+    n_g = float(sum(s.stats["n_docs"] for s in segments))
+    total_len = sum(
+        int(s.docs.agg(F.sum("doc_len")).first()[0] or 0) for s in segments)
+    avgdl_g = (total_len / n_g) if n_g else 1.0
+    k1, b = float(cfg.bm25_k1), float(cfg.bm25_b)
+
+    # global df: segment vocabs are disjoint doc sets → df adds
+    gvocab = None
+    for s in segments:
+        v = s.vocab.select("term_id", "df")
+        gvocab = v if gvocab is None else gvocab.unionByName(v)
+    gvocab = gvocab.groupBy("term_id").agg(F.sum("df").alias("df"))
+
+    qt = query_terms(queries, cfg)
+    qterms = gvocab.join(F.broadcast(qt), "term_id").select(
+        "query_id", "term_id", "qtf",
+        F.log(F.lit(1.0) + (F.lit(n_g) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+    matched = None
+    for s in segments:
+        m = _matched(s, qterms).join(
+            s.docs.select("doc_id", "doc_len"), "doc_id")
+        matched = m if matched is None else matched.unionByName(m)
+    sat = (F.col("weight") * F.lit(k1 + 1.0)
+           / (F.col("weight") + F.lit(k1)
+              * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl_g))))
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("qtf") * F.col("idf") * sat).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return topk(_tfilter(scored, t), k, "score", ascending=False,
+                rank_round=rank_round)

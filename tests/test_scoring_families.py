@@ -248,3 +248,39 @@ def test_symbol_normalizer_cases(spark):
         "SELECT " + duckdb_symbol_normalize_sql(f"'{raw}'") + " AS s"
     ).fetchone()[0]
     assert got_duck == want
+
+
+def test_federated_equals_monolithic(spark, documents):
+    """Segment federation must be invisible: identical (rank, doc, score)
+    to the monolithic index, for 2-way parity and 3-way uneven splits."""
+    from invertedfiles_jl_spark.operators.search import federated_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    cfg = IndexConfig(weighting="tf", weight_dtype="double")
+    mono_cfg = IndexConfig(weighting="bm25", weight_dtype="double")
+    mono = bm25_topk(build_index(corpus, mono_cfg), queries_df(spark),
+                     k=10, rank_round=6)
+    want = {(r.query_id, r.rank, r.doc_id, round(r.score, 5))
+            for r in mono.collect()}
+    for splits in (2, 3):
+        segs = [build_index(corpus.filter(F.col("doc_id") % splits == p), cfg)
+                for p in range(splits)]
+        got = federated_bm25_topk(segs, queries_df(spark), k=10, rank_round=6)
+        have = {(r.query_id, r.rank, r.doc_id, round(r.score, 5))
+                for r in got.collect()}
+        assert have == want
+
+
+def test_federated_single_segment_equals_plain(spark, documents):
+    from invertedfiles_jl_spark.operators.search import federated_bm25_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    seg = build_index(corpus, IndexConfig(weighting="tf", weight_dtype="double"))
+    mono = build_index(corpus, IndexConfig(weighting="bm25", weight_dtype="double"))
+    a = {(r.query_id, r.rank, r.doc_id, round(r.score, 5)) for r in
+         federated_bm25_topk([seg], queries_df(spark), k=10, rank_round=6).collect()}
+    b = {(r.query_id, r.rank, r.doc_id, round(r.score, 5)) for r in
+         bm25_topk(mono, queries_df(spark), k=10, rank_round=6).collect()}
+    assert a == b

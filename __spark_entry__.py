@@ -340,6 +340,154 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Query-string (Lucene ``QueryParser`` mini-language) oracle.
+
+    The fixture strings are parsed HERE with the same Python mirror the
+    tests gate against the distributed parser
+    (operators/querystring.parse_query_string_py), and the parsed clauses
+    are inlined as literals: the boolean oracle's gates (must-coverage +
+    must_not anti-join) plus, per phrase, an exact-adjacency branch (the
+    start-survival predicate of :func:`_phrase_bm25_sql`) or — for a
+    ``~N`` sloppy phrase — an ordered m-way position join requiring min
+    ordered span ≤ m-1+N (the proximity oracle's shape).  Scoring folds
+    phrase words into should — Lucene's default, phrases rank like their
+    words — and a doc must satisfy EVERY phrase of its query."""
+    from invertedfiles_jl_spark.operators.querystring import (
+        parse_query_string_py,
+    )
+    from invertedfiles_jl_spark.sources.queries import QSTRING_SET
+
+    parsed = [(qid, parse_query_string_py(s)) for qid, s in QSTRING_SET]
+    rows = ", ".join(
+        "(CAST({} AS BIGINT), '{}', '{}', '{}')".format(
+            qid, p["must"],
+            (p["should"] + " " + " ".join(p["phrases"])).strip(),
+            p["must_not"])
+        for qid, p in parsed)
+    branches, nph_rows, pos_ctes = [], [], []
+    for qid, p in parsed:
+        nph_rows.append(
+            f"(CAST({qid} AS BIGINT), CAST({len(p['phrases'])} AS BIGINT))")
+        for pidx, (text, slop) in enumerate(zip(p["phrases"], p["slops"])):
+            ws = text.lower().split()
+            m = len(ws)
+            if slop == 0:
+                conds = " AND ".join(
+                    f"ts[i+{j}] = '{w}'" for j, w in enumerate(ws))
+                branches.append(
+                    f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
+                    f"{pidx} AS pidx, doc_id FROM tsx\n"
+                    f"  WHERE len(list_filter(range(1, len(ts) - {m} + 2), "
+                    f"i -> {conds})) > 0"
+                )
+                continue
+            # sloppy: per-slot position lists, ordered m-way join, min
+            # ordered span <= (m-1)+slop — proximity_topk_sql's shape
+            for j, wd in enumerate(ws):
+                pos_ctes.append(
+                    f"qe_{qid}_{pidx}_{j} AS (SELECT doc_id, "
+                    f"unnest(list_filter(range(1, len(ts) + 1), "
+                    f"i -> ts[i] = '{wd}')) AS p FROM tsx)")
+            if m == 1:
+                branches.append(
+                    f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
+                    f"{pidx} AS pidx, doc_id FROM qe_{qid}_{pidx}_0 "
+                    f"GROUP BY doc_id")
+                continue
+            joins = "".join(
+                f"\n  JOIN qe_{qid}_{pidx}_{j} e{j} "
+                f"ON e{j}.doc_id = e0.doc_id AND e{j}.p > e{j - 1}.p"
+                for j in range(1, m))
+            branches.append(
+                f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
+                f"{pidx} AS pidx, e0.doc_id AS doc_id\n"
+                f"  FROM qe_{qid}_{pidx}_0 e0{joins}\n"
+                f"  GROUP BY e0.doc_id\n"
+                f"  HAVING min(e{m - 1}.p - e0.p) <= {m - 1 + slop}"
+            )
+    gate = "\n  UNION ALL\n".join(branches)
+    pos_cte_sql = "".join(c + ",\n" for c in pos_ctes)
+    mtok = _TOK.format(col="must")
+    ntok = _TOK.format(col="must_not")
+    stok = _TOK.format(col="concat(must, ' ', should)")
+    return f"""
+WITH {_BASE_CTES},
+bq(query_id, must, should, must_not) AS (VALUES {rows}),
+tsx AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS ts FROM documents
+),
+{pos_cte_sql}sq AS (
+  SELECT query_id, unnest({stok}) AS term FROM bq
+),
+sqt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM sq GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, sqt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM sqt JOIN vocab ON sqt.term = vocab.term CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, tf.doc_id,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+),
+mtokens AS (SELECT query_id, unnest({mtok}) AS term FROM bq),
+nmust AS (
+  SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS n_must
+  FROM mtokens GROUP BY query_id
+),
+musthit AS (
+  SELECT m.query_id, tf.doc_id,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS n_hit
+  FROM (SELECT DISTINCT query_id, term FROM mtokens) m
+  JOIN tf ON tf.term = m.term
+  GROUP BY m.query_id, tf.doc_id
+),
+ntokens AS (SELECT query_id, unnest({ntok}) AS term FROM bq),
+excluded AS (
+  SELECT DISTINCT n.query_id, tf.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM ntokens) n
+  JOIN tf ON tf.term = n.term
+),
+phhit AS (
+  SELECT query_id, doc_id,
+         CAST(count(DISTINCT pidx) AS BIGINT) AS n_ph_hit
+  FROM (
+{gate}
+  ) GROUP BY query_id, doc_id
+),
+nph(query_id, n_ph) AS (VALUES {", ".join(nph_rows)}),
+gated AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN nmust USING (query_id)
+  LEFT JOIN musthit mh ON mh.query_id = s.query_id AND mh.doc_id = s.doc_id
+  LEFT JOIN nph ON nph.query_id = s.query_id
+  LEFT JOIN phhit ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id
+  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
+    AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
+    AND NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM gated
+)
+SELECT query_id, rank, doc_id, round(score, 5) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _phrase_bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """Oracle for phrase-gated BM25: score = plain BM25 of the phrase's
     terms; candidates = docs where the phrase occurs consecutively (same
@@ -1210,6 +1358,31 @@ def _q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir, "bm25")
     res = boolean_topk(idx, boolean_df(spark), k=10, rank_round=6)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string retrieval (operators/querystring.query_string_topk):
+    one Lucene-QueryParser-style string per query (``+must -not "phrase"
+    should``), parsed with pure column regexes and executed as boolean
+    gates + BM25 + per-phrase exact-adjacency gates over the positional
+    index.  Fixture mixes must/not/phrase/bare clauses, an OOV phrase, an
+    OOV must, a parser-edge string and ``~N`` sloppy phrases (ordered
+    proximity gates; sources/queries QSTRING_SET)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import qstring_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    pos = positional_postings(_corpus(spark, sf_dir))
+    res = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6)
     return res.select("query_id", "rank", "doc_id",
                       F.round("score", 5).alias("score"))
 
@@ -3004,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram_chars": _q_facet_histogram,
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
+        "query_string_topk": _q_query_string_topk,
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
         "hash_split": _q_hash_split,
@@ -3113,6 +3287,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "facet_histogram_chars": _facet_histogram_sql(),
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
+        "query_string_topk": _query_string_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),

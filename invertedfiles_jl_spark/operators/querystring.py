@@ -1,0 +1,193 @@
+"""Query-string search — the Lucene ``QueryParser`` analog.
+
+One string per query in the classic mini-language:
+
+    +required -prohibited "an exact phrase" "a sloppy one"~3 optional rest
+
+composes the engine's existing clauses: ``+term`` ⇒ boolean must,
+``-term`` ⇒ must_not, ``"..."`` ⇒ exact-phrase gate against the positional
+table, ``"..."~N`` ⇒ ordered proximity gate (words in order within a span
+of ``m-1+N`` tokens — the proximity DP; ordered-only, a documented
+departure from Lucene's transposition-cost slop), bare terms ⇒ should.
+Ranking is BM25 over the must + should + phrase terms a doc matches
+(phrases score like their words — Lucene's default — while ALSO gating on
+adjacency/proximity).
+
+Parsing is PURE COLUMN WORK (three ``regexp_extract_all`` / two
+``regexp_replace`` passes) so a standing-query relation of any size parses
+distributed — no driver loop; :func:`parse_query_string_py` is the
+one-string Python mirror used by tests and by the DuckDB-oracle generator
+(the oracle inlines the parsed clauses as literals, the same way the
+phrase fixtures do).
+
+Grammar notes (kept deliberately small and regular):
+  * ``+``/``-`` bind only at a token's start (after whitespace);
+  * quoted segments are extracted first, so ``+``/``-`` inside quotes are
+    literal text;
+  * an unterminated quote is the user's problem — the lone ``"`` lands in
+    a bare token and tokenizes away;
+  * a query may carry up to ``MAX_PHRASES`` phrases (the composite
+    phrase-key stride — ids collide past that; fixtures sit far below).
+
+Plan shape: :func:`~invertedfiles_jl_spark.operators.search._boolean_scored`
+(broadcast probes + one partial+final agg + per-clause candidate joins)
+plus, only for queries that carry phrases, ``positional ⋈
+broadcast(phrase slots)`` keyed on a composite (query, phrase) id and one
+(query, doc) count compared against the per-query phrase count (Q rows,
+broadcast).  A query whose phrase never occurs — or contains an OOV term —
+matches nothing, the conjunctive empty-Q contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import InvertedIndex
+from invertedfiles_jl_spark.operators.search import _boolean_scored, topk
+
+MAX_PHRASES = 128
+
+_PHRASE_RE = r'"([^"]*)"'
+# the full quoted segment INCLUDING an optional ~N slop suffix — what
+# stripping removes so neither the quote contents nor '~2' leak into the
+# bare/must token streams
+_PHRASE_FULL_RE = r'"[^"]*"(~\d+)?'
+_SLOP_RE = r'"[^"]*"(?:~(\d+))?'
+_MUST_RE = r"(^|\s)\+(\S+)"
+_MUST_NOT_RE = r"(^|\s)-(\S+)"
+_BARE_STRIP_RE = r"(^|\s)[+-]\S+"
+
+
+def parse_query_strings(queries: DataFrame,
+                        content_col: str = "content") -> DataFrame:
+    """(query_id, must, should, must_not, phrases, slops) — clause columns
+    are space-joined strings (what :func:`boolean_topk` consumes),
+    ``phrases`` an ``array<string>`` of the quoted segments in order,
+    ``slops`` the parallel ``array<int>`` of their ``~N`` suffixes
+    (0 = exact phrase)."""
+    c = F.col(content_col)
+    phrases = F.expr(f"regexp_extract_all({content_col}, '{_PHRASE_RE}', 1)")
+    slops = F.expr(
+        f"transform(regexp_extract_all({content_col}, r'{_SLOP_RE}', 1), "
+        f"s -> CASE WHEN s = '' THEN 0 ELSE CAST(s AS INT) END)")
+    stripped = F.expr(
+        f"regexp_replace({content_col}, r'{_PHRASE_FULL_RE}', ' ')")
+    must = F.array_join(
+        F.expr(f"regexp_extract_all(regexp_replace({content_col}, "
+               f"r'{_PHRASE_FULL_RE}', ' '), r'{_MUST_RE}', 2)"), " ")
+    must_not = F.array_join(
+        F.expr(f"regexp_extract_all(regexp_replace({content_col}, "
+               f"r'{_PHRASE_FULL_RE}', ' '), r'{_MUST_NOT_RE}', 2)"), " ")
+    bare = F.regexp_replace(stripped, _BARE_STRIP_RE, " ")
+    return queries.select(
+        "query_id",
+        must.alias("must"),
+        bare.alias("should"),
+        must_not.alias("must_not"),
+        phrases.alias("phrases"),
+        slops.alias("slops"),
+    )
+
+
+def parse_query_string_py(s: str) -> dict:
+    """Python mirror of :func:`parse_query_strings` for one string —
+    byte-for-byte the same clause split (tests gate the parity)."""
+    phrases = re.findall(_PHRASE_RE, s)
+    slops = [int(m or 0) for m in re.findall(_SLOP_RE, s)]
+    stripped = re.sub(_PHRASE_FULL_RE, " ", s)
+    must = [m[1] for m in re.findall(_MUST_RE, stripped)]
+    must_not = [m[1] for m in re.findall(_MUST_NOT_RE, stripped)]
+    bare = re.sub(_BARE_STRIP_RE, " ", stripped)
+    return {
+        "must": " ".join(must),
+        "should": bare,
+        "must_not": " ".join(must_not),
+        "phrases": phrases,
+        "slops": slops,
+    }
+
+
+def query_string_topk(index: InvertedIndex, positional: DataFrame,
+                      queries: DataFrame, k: int = 10,
+                      rank_round: int | None = None,
+                      cfg: IndexConfig | None = None,
+                      content_col: str = "content") -> DataFrame:
+    """Parse + execute: top-``k`` (query_id, rank, doc_id, score).
+
+    Phrase gates: a ``"..."`` phrase requires exact adjacency
+    (:func:`~invertedfiles_jl_spark.operators.positional.phrase_matches`);
+    a ``"..."~N`` sloppy phrase requires the words IN ORDER within an
+    ordered span of ``(m-1)+N`` tokens — the proximity DP
+    (:func:`~invertedfiles_jl_spark.operators.positional._chain_ends`)
+    with a per-phrase span budget, ordered-only semantics (documented
+    departure from Lucene's transposition-cost model).  Both paths emit
+    (composite qp_id, doc_id) hits; a doc must satisfy EVERY phrase of
+    its query."""
+    from invertedfiles_jl_spark.functions.tokenize import tokens_sql
+    from invertedfiles_jl_spark.operators.positional import (
+        _chain_ends,
+        phrase_matches,
+    )
+
+    cfg = cfg or index.cfg
+    parsed = parse_query_strings(queries, content_col)
+    # phrases rank like their words: fold phrase text into the should field
+    scoring = parsed.select(
+        "query_id", "must", "must_not", "phrases",
+        F.concat_ws(" ", F.col("should"),
+                    F.array_join(F.col("phrases"), " ")).alias("should"),
+    )
+    scored = _boolean_scored(index, scoring)
+
+    pq = parsed.select(
+        "query_id", F.posexplode("phrases").alias("pidx", "content"),
+        F.col("slops"),
+    ).select(
+        (F.col("query_id") * MAX_PHRASES + F.col("pidx")).alias("query_id"),
+        "content",
+        F.element_at("slops", F.col("pidx") + 1).alias("slop"),
+    )
+    exact = pq.filter(F.col("slop") == 0).select("query_id", "content")
+    sloppy = pq.filter(F.col("slop") > 0)
+    hits = phrase_matches(positional, exact, cfg).select("query_id", "doc_id")
+    # tiny-relation driver check (the query batch is driver-sized by
+    # contract, same as _chain_ends' own max(m) action): a no-slop batch
+    # keeps its plan byte-identical to the exact-only path
+    if not sloppy.isEmpty():
+        budgets = sloppy.select(
+            "query_id",
+            (F.size(F.expr(tokens_sql("content", cfg))) - 1
+             + F.col("slop")).alias("span_budget"))
+        spans = (
+            _chain_ends(positional, sloppy.select("query_id", "content"),
+                        cfg, None)
+            .groupBy("query_id", "doc_id")
+            .agg(F.min(F.col("pos") - F.col("best")).alias("min_span"))
+        )
+        shits = (
+            spans.join(F.broadcast(budgets), "query_id")
+            .filter(F.col("min_span") <= F.col("span_budget"))
+            .select("query_id", "doc_id")
+        )
+        hits = hits.unionByName(shits)
+    hit = (
+        hits.select(
+            F.floor(F.col("query_id") / MAX_PHRASES).alias("query_id"),
+            F.col("query_id").alias("qp_id"), "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("qp_id").alias("n_ph_hit"))
+    )
+    need = parsed.select(
+        "query_id", F.size("phrases").alias("n_phrases"))
+    gated = (
+        scored.join(F.broadcast(need), "query_id", "left")
+        .join(hit, ["query_id", "doc_id"], "left")
+        .filter(F.coalesce("n_phrases", F.lit(0)) ==
+                F.coalesce("n_ph_hit", F.lit(0)))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(gated, k, "score", ascending=False, rank_round=rank_round)

@@ -464,6 +464,17 @@ def boolean_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     :func:`bm25_topk`), one :func:`_distinct_term_matches` per non-empty
     clause (must ⇒ equality gate, must_not ⇒ left-anti), every join keyed
     on (query_id, doc_id) over already-aggregated candidate rows."""
+    scored = _boolean_scored(index, queries, must_col, should_col,
+                             must_not_col)
+    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+
+
+def _boolean_scored(index: InvertedIndex, queries: DataFrame,
+                    must_col: str = "must", should_col: str = "should",
+                    must_not_col: str = "must_not") -> DataFrame:
+    """The boolean gate + BM25 score WITHOUT the top-k: (query_id, doc_id,
+    score) — shared by :func:`boolean_topk` and the query-string parser
+    (operators/querystring.query_string_topk)."""
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
 
     def field(col):
@@ -497,8 +508,7 @@ def boolean_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     excluded = _distinct_term_matches(
         index, nq.select("query_id", "term_id").distinct()
     ).select("query_id", "doc_id")
-    scored = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
-    return topk(scored, k, "score", ascending=False, rank_round=rank_round)
+    return scored.join(excluded, ["query_id", "doc_id"], "left_anti")
 
 
 def facet_counts(index: InvertedIndex, queries: DataFrame, meta: DataFrame,

@@ -208,3 +208,29 @@ def boolean_values_sql() -> str:
         f"(CAST({qid} AS BIGINT), '{m}', '{s}', '{n}')"
         for qid, m, s, n in BOOLEAN_SET)
     return f"(VALUES {rows}) AS bq(query_id, must, should, must_not)"
+
+
+# Query-string (Lucene QueryParser mini-language) fixture set: must /
+# must_not / phrase / bare clauses, an OOV phrase (7), an OOV must (8), a
+# parser-edge query (9: interior '+' is literal, clause markers bind only
+# at token starts), sloppy phrases (10, 11) and an explicit ~0 ≡ exact
+# (12).  NOTE: double quotes only — these strings are inlined into
+# single-quoted SQL literals by the oracle generator.
+QSTRING_SET: list[tuple[int, str]] = [
+    (1, '+spark window'),
+    (2, 'dup -customer'),
+    (3, '"fast query" table'),
+    (4, '+table +scan filter'),
+    (5, '"scan scan"'),
+    (6, '-dup merge sort'),
+    (7, '"zzzq yyqq" spark'),
+    (8, '+zzzmissing spark'),
+    (9, 'a+b -row "fast query" +merge table'),
+    (10, '"sort merge"~2'),
+    (11, '+filter "table scan"~3 -dup'),
+    (12, '"fast query"~0 batch'),
+]
+
+
+def qstring_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QSTRING_SET, "query_id long, content string")

@@ -422,6 +422,35 @@ def test_search_after_facet_hits_plans(spark, served, documents):
     assert "CartesianProduct" not in plan
 
 
+def test_query_string_gate_joins_candidate_keyed(spark, served, documents):
+    """Query-string retrieval composes boolean gates + the phrase gate.
+    The scale discipline: every posting-side probe (term_id-keyed) is a
+    BroadcastHashJoin; any remaining shuffle join must be one of the
+    documented gate joins keyed on the AGGREGATED (query_id, doc_id)
+    candidate rows — never on term/term_id (which would shuffle the whole
+    postings relation per query batch)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_topk,
+    )
+    from invertedfiles_jl_spark.sources.queries import qstring_df
+
+    idx, _ = served
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    pos = positional_postings(corpus)
+    df = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "query_id" in line and "doc_id" in line, line
+            assert "term" not in line, line
+
+
 def test_chunk_documents_shuffle_free(spark, documents):
     """The chunk manifest is a flatMap in relational clothing: ZERO
     exchanges — it must scale with input bytes only."""

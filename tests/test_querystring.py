@@ -1,0 +1,195 @@
+"""Query-string mini-language (operators/querystring.py).
+
+Three layers: (1) the distributed column-regex parser must split clauses
+byte-for-byte like the Python mirror on the fixture set plus adversarial
+strings; (2) gate semantics on an inline corpus — must/must_not/phrase
+conjunction, OOV behavior, multi-phrase AND; (3) rank parity: a
+phrase-free query string must rank exactly like ``boolean_topk`` given
+the same clauses (the composition contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedfiles_jl_spark.config import IndexConfig
+from invertedfiles_jl_spark.operators.build import build_index
+from invertedfiles_jl_spark.operators.positional import positional_postings
+from invertedfiles_jl_spark.operators.querystring import (
+    parse_query_string_py,
+    parse_query_strings,
+    query_string_topk,
+)
+from invertedfiles_jl_spark.operators.search import boolean_topk
+from invertedfiles_jl_spark.sources.queries import QSTRING_SET
+
+ADVERSARIAL = [
+    "",                          # empty string
+    "   ",                       # whitespace only
+    "plain terms only",
+    "+a +b +c",                  # all-must
+    "-x -y",                     # all-not
+    '"one" "two" "three"',       # multi-phrase
+    '"unterminated rest',        # lone quote → literal token
+    'trailing+plus+ -lead',      # interior + literal, leading - binds
+    '+"not a phrase marker"',    # + then quote: quote extracted first
+    'a  double   spaces +m',
+    '"sloppy one"~2 "exact two"',   # mixed slop / exact
+    '"a b"~10 -x "c d"~0',          # slop 0 explicit
+    'word~3 "tilde not on quote"',  # ~ on a bare token is literal text
+]
+
+
+def _parse_via_spark(spark, strings):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)],
+        "query_id long, content string")
+    rows = parse_query_strings(df).orderBy("query_id").collect()
+    return [
+        {"must": r.must, "should": r.should, "must_not": r.must_not,
+         "phrases": list(r.phrases), "slops": list(r.slops)}
+        for r in rows
+    ]
+
+
+def _norm(p):
+    # clause strings are compared token-wise: the tokenizer later collapses
+    # whitespace, so parser parity is defined on the token split
+    return {
+        "must": p["must"].split(),
+        "should": p["should"].split(),
+        "must_not": p["must_not"].split(),
+        "phrases": p["phrases"],
+        "slops": p["slops"],
+    }
+
+
+class TestParserParity:
+    def test_fixture_set(self, spark):
+        strings = [s for _, s in QSTRING_SET]
+        got = _parse_via_spark(spark, strings)
+        for s, g in zip(strings, got):
+            assert _norm(g) == _norm(parse_query_string_py(s)), s
+
+    def test_adversarial(self, spark):
+        got = _parse_via_spark(spark, ADVERSARIAL)
+        for s, g in zip(ADVERSARIAL, got):
+            assert _norm(g) == _norm(parse_query_string_py(s)), repr(s)
+
+    def test_py_mirror_clauses(self):
+        p = parse_query_string_py('a+b -row "fast query" +merge table')
+        assert p["must"].split() == ["merge"]
+        assert p["must_not"].split() == ["row"]
+        assert p["phrases"] == ["fast query"]
+        assert sorted(p["should"].split()) == ["a+b", "table"]
+
+    def test_quotes_shield_markers(self):
+        p = parse_query_string_py('"keep +this -that" other')
+        assert p["phrases"] == ["keep +this -that"]
+        assert p["must"] == "" and p["must_not"] == ""
+        assert p["should"].split() == ["other"]
+
+
+DOCS = [
+    (1, "fast query engine runs a fast scan"),
+    (2, "query fast engine"),            # words but not the phrase
+    (3, "slow table scan merge"),
+    (4, "fast query merge table"),
+    (5, "fast query merge table row"),   # excluded by -row
+    (6, "merge fast query fast query"),  # phrase twice
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    corpus = spark.createDataFrame(DOCS, "doc_id long, content string")
+    idx = build_index(corpus, IndexConfig(weighting="bm25"))
+    pos = positional_postings(corpus)
+    return idx, pos
+
+
+def _run(spark, tiny, s, k=10):
+    idx, pos = tiny
+    q = spark.createDataFrame([(1, s)], "query_id long, content string")
+    rows = query_string_topk(idx, pos, q, k=k, rank_round=6).collect()
+    return [r.doc_id for r in rows]
+
+
+class TestGates:
+    def test_phrase_gates_and_not_excludes(self, spark, tiny):
+        docs = _run(spark, tiny, '"fast query" +merge -row')
+        assert set(docs) == {4, 6}  # phrase AND merge, minus doc 5 (row)
+
+    def test_phrase_only(self, spark, tiny):
+        docs = _run(spark, tiny, '"fast query"')
+        assert set(docs) == {1, 4, 5, 6}  # not 2: words present, not adjacent
+
+    def test_multi_phrase_conjunction(self, spark, tiny):
+        docs = _run(spark, tiny, '"fast query" "table scan"')
+        assert docs == []  # no doc holds both phrases
+
+    def test_oov_phrase_empty(self, spark, tiny):
+        assert _run(spark, tiny, '"zz yy" fast') == []
+
+    def test_oov_must_empty(self, spark, tiny):
+        assert _run(spark, tiny, "+zzmissing fast") == []
+
+    def test_empty_query_empty(self, spark, tiny):
+        assert _run(spark, tiny, "   ") == []
+
+    # doc 1 = "fast query engine runs a fast scan": query@1 … scan@6 is an
+    # ordered span of 5; budget for "query scan"~N is (m-1)+N = 1+N
+    def test_slop_budget_boundary(self, spark, tiny):
+        assert _run(spark, tiny, '"query scan"~3') == []   # 1+3 < 5
+        assert _run(spark, tiny, '"query scan"~4') == [1]  # 1+4 = 5
+
+    def test_slop_is_ordered_only(self, spark, tiny):
+        # doc 2 = "query fast engine": both words, but no fast→query chain
+        docs = _run(spark, tiny, '"fast query"~5')
+        assert 2 not in docs
+        assert {1, 4, 5, 6} <= set(docs)
+
+    def test_slop_zero_equals_exact(self, spark, tiny):
+        assert (_run(spark, tiny, '"fast query"~0')
+                == _run(spark, tiny, '"fast query"'))
+
+    def test_mixed_exact_and_sloppy_phrases(self, spark, tiny):
+        docs = _run(spark, tiny, '"fast query"~2 "merge table"')
+        assert set(docs) == {4, 5}
+
+
+class TestCompositionParity:
+    def test_phrase_free_equals_boolean(self, spark, tiny):
+        """A string with no phrases must reproduce boolean_topk exactly:
+        same docs, same ranks, same scores."""
+        idx, pos = tiny
+        q = spark.createDataFrame(
+            [(1, "+merge fast -row")], "query_id long, content string")
+        via_qs = query_string_topk(idx, pos, q, k=10, rank_round=6)
+        bq = spark.createDataFrame(
+            [(1, "merge", "fast", "row")],
+            "query_id long, must string, should string, must_not string")
+        via_bool = boolean_topk(idx, bq, k=10, rank_round=6)
+        a = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in via_qs.orderBy("rank").collect()]
+        b = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+             for r in via_bool.orderBy("rank").collect()]
+        assert a == b and a
+
+    def test_phrase_scores_as_words(self, spark, tiny):
+        """Phrase terms fold into scoring: '"fast query"' must score a
+        matching doc identically to bare 'fast query' (gate differs,
+        score does not)."""
+        idx, pos = tiny
+        qp = spark.createDataFrame(
+            [(1, '"fast query"')], "query_id long, content string")
+        qb = spark.createDataFrame(
+            [(1, "fast query")], "query_id long, content string")
+        sp = {r.doc_id: round(r.score, 9)
+              for r in query_string_topk(idx, pos, qp, k=10).collect()}
+        sb = {r.doc_id: round(r.score, 9)
+              for r in query_string_topk(idx, pos, qb, k=10).collect()}
+        assert sp  # gated subset is non-empty
+        for d, s in sp.items():
+            assert sb[d] == s

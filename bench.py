@@ -423,6 +423,70 @@ def _log_scaling_run(record: dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+_VARIANCE_MARKER = "## Measurement variance across VM windows"
+
+
+def _scaling_variance_md() -> str:
+    """Regenerate the variance section from BENCH/RUNS.jsonl.
+
+    The writers rebuild this from the durable log on EVERY scaling run —
+    it is derived state, so no run can clobber the history (the round-3
+    weak writer truncated everything after its own section and silently
+    dropped this table once)."""
+    rows = []
+    try:
+        with open("BENCH/RUNS.jsonl") as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if r.get("mode") not in ("strong", "weak"):
+                    continue
+                q = r.get("queries", {})
+                docs = r.get("docs")
+                scale = (f"{docs.get('4', docs.get(4))}→"
+                         f"{docs.get('16', docs.get(16))}"
+                         if isinstance(docs, dict) else "20000→80000"
+                         if r.get("mode") == "weak" else "400000 fixed")
+                ts = r.get("recorded_utc", "?")[5:16].replace("T", " ")
+                rows.append(
+                    f"| {ts} | {r.get('mode')} | {scale} | "
+                    f"{r.get('value')} | {q.get('host_cpu_ceiling')} | "
+                    f"{q.get('host_mem_ceiling')} | "
+                    f"{q.get('gate_host_normalized')} |")
+    except OSError:
+        return ""
+    if not rows:
+        return ""
+    return "\n".join([
+        "", "", _VARIANCE_MARKER + " (run log: BENCH/RUNS.jsonl)", "",
+        "Every scaling attempt is appended to `BENCH/RUNS.jsonl` with its",
+        "own in-run host-ceiling probes; this table is REGENERATED from",
+        "that log on every scaling run.  The tables above show the most",
+        "recent run per mode; the log shows how the raw gate tracks the",
+        "host's own delivery window AND the measurement scale:",
+        "",
+        "| run (UTC) | mode | docs lo→hi | raw gate | in-run CPU ceiling "
+        "| in-run DRAM ceiling | host-normalized gate |",
+        "|---|---|---|---|---|---|---|",
+        *rows,
+        "",
+        "How to read it: the fixed-total-work DRAM probe is the host's own",
+        "zero-communication streaming ceiling for that window.  Small weak",
+        "runs (20k→80k docs) fit cache tiers and clear the ≥0.8 gate RAW",
+        "(0.88/0.84/0.82); the 20× run (400k→1.6M docs, clean window: CPU",
+        "probe 0.945) streams its shuffle through the ONE shared DRAM",
+        "subsystem and lands exactly on that wall — build raw 0.526 vs the",
+        "probe's 0.513 (ratio 1.03), while the serving paths, which stream",
+        "less per doc, sit above it (Plan A 0.71, sharded 1.11).  A real",
+        "N→4N cluster multiplies memory controllers with nodes, which is",
+        "precisely the resource this single-VM proxy cannot add; the",
+        "engine-attributable signal is the host-normalized column and the",
+        "at-or-above-the-wall raw ratios.",
+    ])
+
+
 def main():
     if os.environ.get("SPARK_GRAFT_SCALING"):
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
@@ -572,19 +636,6 @@ def main():
                 json.dumps({f"local[{c}]": results[c] for c in sorted(results)}, indent=1),
                 "```",
             ]
-            os.makedirs("BENCH", exist_ok=True)
-            marker = "## Weak scaling"
-            existing = ""
-            if os.path.exists("BENCH/BASELINE.md"):
-                with open("BENCH/BASELINE.md") as f:
-                    existing = f.read()
-                cut = existing.find(marker)
-                if cut != -1:
-                    existing = existing[:cut].rstrip() + "\n"
-            else:
-                existing = "# BENCH/BASELINE.md — measured two-parallelism scaling\n"
-            with open("BENCH/BASELINE.md", "w") as f:
-                f.write(existing.rstrip() + "\n\n" + "\n".join(md) + "\n")
             out = {"metric": f"weak_scaling_efficiency_{n_lo}to{n_hi}",
                    "value": round(gate, 3), "unit": "ratio",
                    "queries": {"build_eff": round(eff_b, 3),
@@ -595,9 +646,28 @@ def main():
                                "host_mem_ceiling": ceil.get("mem"),
                                "gate_host_normalized": round(norm(gate), 3)},
                    "docs": docs_for, "sf": SF_DIR}
+            # log BEFORE writing BASELINE: the regenerated variance table
+            # reads the log and must include this run
             _log_scaling_run(dict(out, mode="weak", passes=passes,
                                   raw={f"local[{c}]": results[c]
                                        for c in sorted(results)}))
+            marker = "## Weak scaling"
+            existing = ""
+            if os.path.exists("BENCH/BASELINE.md"):
+                with open("BENCH/BASELINE.md") as f:
+                    existing = f.read()
+                # everything from the weak section on (incl. any variance
+                # section) is regenerated below
+                cut = existing.find(marker)
+                if cut == -1:
+                    cut = existing.find(_VARIANCE_MARKER)
+                if cut != -1:
+                    existing = existing[:cut].rstrip() + "\n"
+            else:
+                existing = "# BENCH/BASELINE.md — measured two-parallelism scaling\n"
+            with open("BENCH/BASELINE.md", "w") as f:
+                f.write(existing.rstrip() + "\n\n" + "\n".join(md)
+                        + _scaling_variance_md() + "\n")
             print(json.dumps(out))
             return
         md = [
@@ -661,10 +731,25 @@ def main():
             json.dumps({f"local[{c}]": results[c] for c in sorted(results)}, indent=1),
             "```",
         ]
-        os.makedirs("BENCH", exist_ok=True)
+        out = {"metric": f"scaling_efficiency_{n_lo}to{n_hi}",
+               "value": round(gate, 3), "unit": "ratio",
+               "queries": {"build_eff": round(eff_b, 3),
+                           "planA_qps_eff": round(eff_qa, 3),
+                           "wand_qps_eff": round(eff_qw, 3),
+                           "sharded_qps_eff": round(eff_qs, 3),
+                           "host_cpu_ceiling": ceil.get("cpu"),
+                           "host_mem_ceiling": ceil.get("mem"),
+                           "gate_host_normalized": round(norm(gate), 3)},
+               "sf": SF_DIR}
+        # log BEFORE writing BASELINE: the regenerated variance table reads
+        # the log and must include this run
+        _log_scaling_run(dict(out, mode="strong", passes=passes,
+                              raw={f"local[{c}]": results[c]
+                                   for c in sorted(results)}))
         # preserve the hand-maintained north-rule verdict block (between the
         # title and the first blank-separated paragraph starting "Sandbox")
-        # and a previously-measured weak-scaling section, if any
+        # and a previously-measured weak-scaling section, if any; the
+        # variance section is regenerated from the run log, never preserved
         weak_section = ""
         verdict = ""
         if os.path.exists("BENCH/BASELINE.md"):
@@ -678,26 +763,16 @@ def main():
             cut = prev.find("## Weak scaling")
             if cut != -1:
                 weak_section = "\n\n" + prev[cut:].rstrip() + "\n"
+                vcut = weak_section.find(_VARIANCE_MARKER)
+                if vcut != -1:
+                    weak_section = weak_section[:vcut].rstrip() + "\n"
         body = "\n".join(md)
         if verdict:
             body = body.replace(
                 "measured two-parallelism scaling\n\n",
                 "measured two-parallelism scaling\n\n" + verdict, 1)
         with open("BENCH/BASELINE.md", "w") as f:
-            f.write(body + weak_section + "\n")
-        out = {"metric": f"scaling_efficiency_{n_lo}to{n_hi}",
-               "value": round(gate, 3), "unit": "ratio",
-               "queries": {"build_eff": round(eff_b, 3),
-                           "planA_qps_eff": round(eff_qa, 3),
-                           "wand_qps_eff": round(eff_qw, 3),
-                           "sharded_qps_eff": round(eff_qs, 3),
-                           "host_cpu_ceiling": ceil.get("cpu"),
-                           "host_mem_ceiling": ceil.get("mem"),
-                           "gate_host_normalized": round(norm(gate), 3)},
-               "sf": SF_DIR}
-        _log_scaling_run(dict(out, mode="strong", passes=passes,
-                              raw={f"local[{c}]": results[c]
-                                   for c in sorted(results)}))
+            f.write(body + weak_section + _scaling_variance_md() + "\n")
         print(json.dumps(out))
         return
 

@@ -202,6 +202,21 @@ def main(argv=None):
     rk.add_argument("--depth", type=int, default=50)
     rk.add_argument("--lam", type=float, default=0.7)
 
+    qs = sub.add_parser(
+        "qstring",
+        help="query-string search: one Lucene-QueryParser-style string per "
+             "query (+must -not \"phrase\" \"sloppy\"~N bare) over a bm25 "
+             "index + positional postings (operators.querystring)")
+    qs.add_argument("--index", required=True, help="bm25 index directory")
+    qs.add_argument("--positional", required=True,
+                    help="positional postings parquet (build-positional)")
+    qs.add_argument("--queries", required=True,
+                    help="parquet with (query_id long, content string) — "
+                         "content is the raw query string")
+    qs.add_argument("--output", required=True)
+    qs.add_argument("--k", type=int, default=10)
+    qs.add_argument("--rank-round", type=int, default=None)
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -388,6 +403,20 @@ def main(argv=None):
         return 0
 
     from invertedfiles_jl_spark.plans.pipeline import load_index, save_index
+
+    if args.cmd == "qstring":
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_topk,
+        )
+
+        idx = load_index(spark, args.index)
+        pos = spark.read.parquet(args.positional)
+        queries = spark.read.parquet(args.queries)
+        res = query_string_topk(idx, pos, queries, k=args.k,
+                                rank_round=args.rank_round)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote query-string results to {args.output}")
+        return 0
 
     if args.cmd == "delete":
         from invertedfiles_jl_spark.operators.maintenance import delete_documents

@@ -213,6 +213,41 @@ def test_cli_positional_phrase(spark, corpus_path, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_cli_qstring_matches_library(spark, index_path, corpus_path,
+                                     tmp_path):
+    """build-positional → qstring through the CLI equals the library
+    query_string_topk on the same index (slop + exact + boolean mix)."""
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_topk,
+    )
+    from invertedfiles_jl_spark.plans.pipeline import load_index
+    from invertedfiles_jl_spark.sources.queries import qstring_df
+
+    pos_path = str(tmp_path / "positional")
+    rc = submit_main.main(["build-positional", "--input", corpus_path,
+                           "--output", pos_path])
+    assert rc == 0
+    q_path = str(tmp_path / "qstrings")
+    qstring_df(spark).write.mode("overwrite").parquet(q_path)
+    out = str(tmp_path / "qstring_res")
+    rc = submit_main.main(["qstring", "--index", index_path,
+                           "--positional", pos_path, "--queries", q_path,
+                           "--output", out, "--rank-round", "6"])
+    assert rc == 0
+    got = sorted((r.query_id, r.rank, r.doc_id)
+                 for r in spark.read.parquet(out).collect())
+    idx = load_index(spark, index_path)
+    corpus = spark.read.parquet(corpus_path)
+    want = sorted((r.query_id, r.rank, r.doc_id)
+                  for r in query_string_topk(
+                      idx, positional_postings(corpus), qstring_df(spark),
+                      k=10, rank_round=6).collect())
+    assert got == want and len(got) > 0
+
+
 def test_cli_proximity_and_snippet_modes(spark, corpus_path, tmp_path):
     """--mode proximity/snippet through the CLI equals the library paths."""
     from invertedfiles_jl_spark.operators.positional import (

@@ -350,9 +350,11 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     must_not anti-join) plus, per phrase, an exact-adjacency branch (the
     start-survival predicate of :func:`_phrase_bm25_sql`) or — for a
     ``~N`` sloppy phrase — an ordered m-way position join requiring min
-    ordered span ≤ m-1+N (the proximity oracle's shape).  Scoring folds
-    phrase words into should — Lucene's default, phrases rank like their
-    words — and a doc must satisfy EVERY phrase of its query."""
+    ordered span ≤ m-1+N (the proximity oracle's shape) — plus conjunctive
+    ``field:value`` metadata-qualifier gates over (lang, source).  Scoring
+    folds phrase words into should — Lucene's default, phrases rank like
+    their words — and a doc must satisfy EVERY phrase and qualifier of its
+    query."""
     from invertedfiles_jl_spark.operators.querystring import (
         parse_query_string_py,
     )
@@ -408,6 +410,41 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
             )
     gate = "\n  UNION ALL\n".join(branches)
     pos_cte_sql = "".join(c + ",\n" for c in pos_ctes)
+    # metadata qualifiers: conjunctive filters over (lang, source) — the
+    # same coalesce-counting gate shape as phrases, CROSS JOIN quals ×
+    # documents at fixture scale (production gates candidates only)
+    qrows, npos_rows = [], []
+    for qid, p in parsed:
+        n_pos = sum(1 for s in p["qual_signs"] if s != "-")
+        if p["qual_signs"]:
+            npos_rows.append(
+                f"(CAST({qid} AS BIGINT), CAST({n_pos} AS BIGINT))")
+        for s, fld, val in zip(p["qual_signs"], p["qual_fields"],
+                               p["qual_values"]):
+            qrows.append(f"(CAST({qid} AS BIGINT), '{s}', '{fld}', '{val}')")
+    if qrows:
+        fval = "CASE q.field WHEN 'lang' THEN d.lang WHEN 'source' THEN d.source END"
+        qual_cte_sql = f"""quals(query_id, sign, field, value) AS (VALUES {", ".join(qrows)}),
+nposq(query_id, n_pos) AS (VALUES {", ".join(npos_rows)}),
+qsat AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(sum(CASE WHEN q.sign <> '-' AND {fval} = q.value
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_sat,
+         CAST(sum(CASE WHEN q.sign = '-' AND {fval} = q.value
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_sat
+  FROM quals q CROSS JOIN documents d
+  GROUP BY q.query_id, d.doc_id
+),
+"""
+        qual_joins = (
+            "  LEFT JOIN nposq ON nposq.query_id = s.query_id\n"
+            "  LEFT JOIN qsat qq ON qq.query_id = s.query_id "
+            "AND qq.doc_id = s.doc_id\n")
+        qual_pred = (
+            "    AND COALESCE(nposq.n_pos, 0) = COALESCE(qq.n_pos_sat, 0)\n"
+            "    AND COALESCE(qq.n_neg_sat, 0) = 0\n")
+    else:
+        qual_cte_sql, qual_joins, qual_pred = "", "", ""
     mtok = _TOK.format(col="must")
     ntok = _TOK.format(col="must_not")
     stok = _TOK.format(col="concat(must, ' ', should)")
@@ -465,16 +502,16 @@ phhit AS (
   ) GROUP BY query_id, doc_id
 ),
 nph(query_id, n_ph) AS (VALUES {", ".join(nph_rows)}),
-gated AS (
+{qual_cte_sql}gated AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scored s
   LEFT JOIN nmust USING (query_id)
   LEFT JOIN musthit mh ON mh.query_id = s.query_id AND mh.doc_id = s.doc_id
   LEFT JOIN nph ON nph.query_id = s.query_id
   LEFT JOIN phhit ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id
-  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
+{qual_joins}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
     AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
-    AND NOT EXISTS (SELECT 1 FROM excluded x
+{qual_pred}    AND NOT EXISTS (SELECT 1 FROM excluded x
                     WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
 ),
 ranked AS (
@@ -1368,8 +1405,10 @@ def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     should``), parsed with pure column regexes and executed as boolean
     gates + BM25 + per-phrase exact-adjacency gates over the positional
     index.  Fixture mixes must/not/phrase/bare clauses, an OOV phrase, an
-    OOV must, a parser-edge string and ``~N`` sloppy phrases (ordered
-    proximity gates; sources/queries QSTRING_SET)."""
+    OOV must, a parser-edge string, ``~N`` sloppy phrases (ordered
+    proximity gates) and ``field:value`` metadata qualifiers over
+    (lang, source) incl. negation and an unknown field
+    (sources/queries QSTRING_SET)."""
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.operators.positional import (
@@ -1382,7 +1421,10 @@ def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir, "bm25")
     pos = positional_postings(_corpus(spark, sf_dir))
-    res = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6)
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source")
+    res = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6,
+                            meta=meta)
     return res.select("query_id", "rank", "doc_id",
                       F.round("score", 5).alias("score"))
 

@@ -8,10 +8,13 @@ composes the engine's existing clauses: ``+term`` ⇒ boolean must,
 ``-term`` ⇒ must_not, ``"..."`` ⇒ exact-phrase gate against the positional
 table, ``"..."~N`` ⇒ ordered proximity gate (words in order within a span
 of ``m-1+N`` tokens — the proximity DP; ordered-only, a documented
-departure from Lucene's transposition-cost slop), bare terms ⇒ should.
-Ranking is BM25 over the must + should + phrase terms a doc matches
-(phrases score like their words — Lucene's default — while ALSO gating on
-adjacency/proximity).
+departure from Lucene's transposition-cost slop), bare terms ⇒ should,
+``field:value`` ⇒ metadata qualifier (GitHub-code-search style:
+``lang:py``, ``-source:vendored`` — a conjunctive filter over a doc
+metadata relation, never a scoring clause; unknown field ⇒ matches
+nothing).  Ranking is BM25 over the must + should + phrase terms a doc
+matches (phrases score like their words — Lucene's default — while ALSO
+gating on adjacency/proximity).
 
 Parsing is PURE COLUMN WORK (three ``regexp_extract_all`` / two
 ``regexp_replace`` passes) so a standing-query relation of any size parses
@@ -26,6 +29,9 @@ Grammar notes (kept deliberately small and regular):
     literal text;
   * an unterminated quote is the user's problem — the lone ``"`` lands in
     a bare token and tokenizes away;
+  * qualifiers are recognized AFTER phrase stripping (colons inside
+    quotes are literal) and accept an optional ``+``/``-`` sign (``+q:v``
+    ≡ ``q:v`` — both are conjunctive filters already);
   * a query may carry up to ``MAX_PHRASES`` phrases (the composite
     phrase-key stride — ids collide past that; fixtures sit far below).
 
@@ -57,6 +63,10 @@ _PHRASE_RE = r'"([^"]*)"'
 # bare/must token streams
 _PHRASE_FULL_RE = r'"[^"]*"(~\d+)?'
 _SLOP_RE = r'"[^"]*"(?:~(\d+))?'
+# metadata qualifier: [+|-]field:value at a token start (after phrase
+# stripping, so colons inside quotes are literal text).  Groups: 2 = sign
+# ('' / '+' / '-'), 3 = field, 4 = value.
+_QUAL_RE = r"(^|\s)([+-]?)([A-Za-z_][A-Za-z0-9_]*):(\S+)"
 _MUST_RE = r"(^|\s)\+(\S+)"
 _MUST_NOT_RE = r"(^|\s)-(\S+)"
 _BARE_STRIP_RE = r"(^|\s)[+-]\S+"
@@ -64,25 +74,30 @@ _BARE_STRIP_RE = r"(^|\s)[+-]\S+"
 
 def parse_query_strings(queries: DataFrame,
                         content_col: str = "content") -> DataFrame:
-    """(query_id, must, should, must_not, phrases, slops) — clause columns
-    are space-joined strings (what :func:`boolean_topk` consumes),
-    ``phrases`` an ``array<string>`` of the quoted segments in order,
-    ``slops`` the parallel ``array<int>`` of their ``~N`` suffixes
-    (0 = exact phrase)."""
-    c = F.col(content_col)
+    """(query_id, must, should, must_not, phrases, slops, qual_signs,
+    qual_fields, qual_values) — clause columns are space-joined strings
+    (what :func:`boolean_topk` consumes), ``phrases`` an ``array<string>``
+    of the quoted segments in order, ``slops`` the parallel ``array<int>``
+    of their ``~N`` suffixes (0 = exact phrase), and the three ``qual_*``
+    arrays the parallel sign/field/value split of the ``field:value``
+    metadata qualifiers."""
     phrases = F.expr(f"regexp_extract_all({content_col}, '{_PHRASE_RE}', 1)")
     slops = F.expr(
         f"transform(regexp_extract_all({content_col}, r'{_SLOP_RE}', 1), "
         f"s -> CASE WHEN s = '' THEN 0 ELSE CAST(s AS INT) END)")
-    stripped = F.expr(
-        f"regexp_replace({content_col}, r'{_PHRASE_FULL_RE}', ' ')")
+    # stage 1: phrases out; stage 2: qualifiers out; clause regexes see
+    # only what remains
+    nophrase = f"regexp_replace({content_col}, r'{_PHRASE_FULL_RE}', ' ')"
+    noqual = f"regexp_replace({nophrase}, r'{_QUAL_RE}', ' ')"
+
+    def quals(idx: int):
+        return F.expr(f"regexp_extract_all({nophrase}, r'{_QUAL_RE}', {idx})")
+
     must = F.array_join(
-        F.expr(f"regexp_extract_all(regexp_replace({content_col}, "
-               f"r'{_PHRASE_FULL_RE}', ' '), r'{_MUST_RE}', 2)"), " ")
+        F.expr(f"regexp_extract_all({noqual}, r'{_MUST_RE}', 2)"), " ")
     must_not = F.array_join(
-        F.expr(f"regexp_extract_all(regexp_replace({content_col}, "
-               f"r'{_PHRASE_FULL_RE}', ' '), r'{_MUST_NOT_RE}', 2)"), " ")
-    bare = F.regexp_replace(stripped, _BARE_STRIP_RE, " ")
+        F.expr(f"regexp_extract_all({noqual}, r'{_MUST_NOT_RE}', 2)"), " ")
+    bare = F.regexp_replace(F.expr(noqual), _BARE_STRIP_RE, " ")
     return queries.select(
         "query_id",
         must.alias("must"),
@@ -90,6 +105,9 @@ def parse_query_strings(queries: DataFrame,
         must_not.alias("must_not"),
         phrases.alias("phrases"),
         slops.alias("slops"),
+        quals(2).alias("qual_signs"),
+        quals(3).alias("qual_fields"),
+        quals(4).alias("qual_values"),
     )
 
 
@@ -98,16 +116,21 @@ def parse_query_string_py(s: str) -> dict:
     byte-for-byte the same clause split (tests gate the parity)."""
     phrases = re.findall(_PHRASE_RE, s)
     slops = [int(m or 0) for m in re.findall(_SLOP_RE, s)]
-    stripped = re.sub(_PHRASE_FULL_RE, " ", s)
-    must = [m[1] for m in re.findall(_MUST_RE, stripped)]
-    must_not = [m[1] for m in re.findall(_MUST_NOT_RE, stripped)]
-    bare = re.sub(_BARE_STRIP_RE, " ", stripped)
+    nophrase = re.sub(_PHRASE_FULL_RE, " ", s)
+    qual_matches = re.findall(_QUAL_RE, nophrase)
+    noqual = re.sub(_QUAL_RE, " ", nophrase)
+    must = [m[1] for m in re.findall(_MUST_RE, noqual)]
+    must_not = [m[1] for m in re.findall(_MUST_NOT_RE, noqual)]
+    bare = re.sub(_BARE_STRIP_RE, " ", noqual)
     return {
         "must": " ".join(must),
         "should": bare,
         "must_not": " ".join(must_not),
         "phrases": phrases,
         "slops": slops,
+        "qual_signs": [m[1] for m in qual_matches],
+        "qual_fields": [m[2] for m in qual_matches],
+        "qual_values": [m[3] for m in qual_matches],
     }
 
 
@@ -115,7 +138,10 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
                       queries: DataFrame, k: int = 10,
                       rank_round: int | None = None,
                       cfg: IndexConfig | None = None,
-                      content_col: str = "content") -> DataFrame:
+                      content_col: str = "content",
+                      meta: DataFrame | None = None,
+                      qualifier_fields: tuple[str, ...] = ("lang", "source"),
+                      ) -> DataFrame:
     """Parse + execute: top-``k`` (query_id, rank, doc_id, score).
 
     Phrase gates: a ``"..."`` phrase requires exact adjacency
@@ -126,7 +152,17 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     with a per-phrase span budget, ordered-only semantics (documented
     departure from Lucene's transposition-cost model).  Both paths emit
     (composite qp_id, doc_id) hits; a doc must satisfy EVERY phrase of
-    its query."""
+    its query.
+
+    Qualifier gates: ``field:value`` tokens (GitHub-code-search style,
+    e.g. ``lang:py``, ``-source:vendored``) are conjunctive filters over
+    the ``meta`` relation (doc_id + the ``qualifier_fields`` columns):
+    every positive qualifier must hold and no negated one may; a
+    qualifier on an unknown field is unsatisfiable (the query matches
+    nothing, Lucene's unknown-field behavior).  Qualifiers never score —
+    a pure-qualifier query has no scoring clause and returns no rows.
+    ``meta`` is required only when the batch actually carries
+    qualifiers."""
     from invertedfiles_jl_spark.functions.tokenize import tokens_sql
     from invertedfiles_jl_spark.operators.positional import (
         _chain_ends,
@@ -142,6 +178,49 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
                     F.array_join(F.col("phrases"), " ")).alias("should"),
     )
     scored = _boolean_scored(index, scoring)
+
+    quals = parsed.select(
+        "query_id",
+        F.explode(F.arrays_zip(
+            F.col("qual_signs").alias("sign"),
+            F.col("qual_fields").alias("field"),
+            F.col("qual_values").alias("value"))).alias("q"),
+    ).select("query_id", "q.sign", "q.field", "q.value")
+    # tiny-relation driver check (same contract as the sloppy branch below)
+    if not quals.isEmpty():
+        if meta is None:
+            raise ValueError(
+                "query strings carry field:value qualifiers — pass `meta` "
+                "(doc_id + " + ", ".join(qualifier_fields) + ")")
+        mval = F.element_at(
+            F.create_map(*[x for f in qualifier_fields
+                           for x in (F.lit(f), F.col(f).cast("string"))]),
+            F.col("field"))
+        npos = quals.filter(F.col("sign") != "-").groupBy("query_id").agg(
+            F.count("*").cast("long").alias("n_pos_quals"))
+        qsat = (
+            scored.select("query_id", "doc_id")
+            .join(meta.select("doc_id", *qualifier_fields), "doc_id", "left")
+            .join(F.broadcast(quals), "query_id")
+            .withColumn("sat", F.coalesce(mval == F.col("value"),
+                                          F.lit(False)))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(F.when((F.col("sign") != "-") & F.col("sat"), 1)
+                      .otherwise(0)).cast("long").alias("n_pos_sat"),
+                F.sum(F.when((F.col("sign") == "-") & F.col("sat"), 1)
+                      .otherwise(0)).cast("long").alias("n_neg_sat"),
+            )
+        )
+        zero = F.lit(0).cast("long")
+        scored = (
+            scored.join(F.broadcast(npos), "query_id", "left")
+            .join(qsat, ["query_id", "doc_id"], "left")
+            .filter((F.coalesce("n_pos_quals", zero) ==
+                     F.coalesce("n_pos_sat", zero)) &
+                    (F.coalesce("n_neg_sat", zero) == zero))
+            .select("query_id", "doc_id", "score")
+        )
 
     pq = parsed.select(
         "query_id", F.posexplode("phrases").alias("pidx", "content"),

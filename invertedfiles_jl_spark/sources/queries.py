@@ -213,9 +213,11 @@ def boolean_values_sql() -> str:
 # Query-string (Lucene QueryParser mini-language) fixture set: must /
 # must_not / phrase / bare clauses, an OOV phrase (7), an OOV must (8), a
 # parser-edge query (9: interior '+' is literal, clause markers bind only
-# at token starts), sloppy phrases (10, 11) and an explicit ~0 ≡ exact
-# (12).  NOTE: double quotes only — these strings are inlined into
-# single-quoted SQL literals by the oracle generator.
+# at token starts), sloppy phrases (10, 11), an explicit ~0 ≡ exact (12),
+# and metadata qualifiers (13-17: positive / negated / with-phrase /
+# unknown-field / conjunctive multi-field).  NOTE: double quotes only —
+# these strings are inlined into single-quoted SQL literals by the oracle
+# generator.
 QSTRING_SET: list[tuple[int, str]] = [
     (1, '+spark window'),
     (2, 'dup -customer'),
@@ -229,6 +231,11 @@ QSTRING_SET: list[tuple[int, str]] = [
     (10, '"sort merge"~2'),
     (11, '+filter "table scan"~3 -dup'),
     (12, '"fast query"~0 batch'),
+    (13, 'spark window lang:en'),
+    (14, '+merge sort -lang:en'),
+    (15, '"fast query" source:src3'),
+    (16, 'filter badfield:x'),
+    (17, '+table scan lang:fr source:src1'),
 ]
 
 

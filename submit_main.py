@@ -216,6 +216,13 @@ def main(argv=None):
     qs.add_argument("--output", required=True)
     qs.add_argument("--k", type=int, default=10)
     qs.add_argument("--rank-round", type=int, default=None)
+    qs.add_argument("--meta", default=None,
+                    help="doc metadata parquet (doc_id + qualifier fields) "
+                         "— required when query strings carry field:value "
+                         "qualifiers")
+    qs.add_argument("--qualifier-fields", default="lang,source",
+                    help="comma-separated metadata columns addressable as "
+                         "field:value qualifiers")
 
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
@@ -412,8 +419,11 @@ def main(argv=None):
         idx = load_index(spark, args.index)
         pos = spark.read.parquet(args.positional)
         queries = spark.read.parquet(args.queries)
-        res = query_string_topk(idx, pos, queries, k=args.k,
-                                rank_round=args.rank_round)
+        meta = spark.read.parquet(args.meta) if args.meta else None
+        res = query_string_topk(
+            idx, pos, queries, k=args.k, rank_round=args.rank_round,
+            meta=meta,
+            qualifier_fields=tuple(args.qualifier_fields.split(",")))
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote query-string results to {args.output}")
         return 0

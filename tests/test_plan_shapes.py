@@ -442,12 +442,17 @@ def test_query_string_gate_joins_candidate_keyed(spark, served, documents):
     idx, _ = served
     corpus = documents.select("doc_id", F.col("text").alias("content"))
     pos = positional_postings(corpus)
-    df = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6)
+    meta = documents.select("doc_id", "lang", "source")
+    df = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6,
+                           meta=meta)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
-            assert "query_id" in line and "doc_id" in line, line
+            # candidate-keyed gate joins (query_id, doc_id) or the
+            # doc-keyed metadata-qualifier dimension lookup — never a
+            # term/term_id key (that would shuffle postings per batch)
+            assert "doc_id" in line, line
             assert "term" not in line, line
 
 

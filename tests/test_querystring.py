@@ -38,6 +38,10 @@ ADVERSARIAL = [
     '"sloppy one"~2 "exact two"',   # mixed slop / exact
     '"a b"~10 -x "c d"~0',          # slop 0 explicit
     'word~3 "tilde not on quote"',  # ~ on a bare token is literal text
+    'lang:en "colon:inside stays literal" -source:x',
+    '+lang:en bare -not +must q:v',  # signed qualifiers + ordinary clauses
+    'a:b:c d',                       # value may itself contain a colon
+    'x:1y:2',                        # greedy value eats the rest of token
 ]
 
 
@@ -48,7 +52,10 @@ def _parse_via_spark(spark, strings):
     rows = parse_query_strings(df).orderBy("query_id").collect()
     return [
         {"must": r.must, "should": r.should, "must_not": r.must_not,
-         "phrases": list(r.phrases), "slops": list(r.slops)}
+         "phrases": list(r.phrases), "slops": list(r.slops),
+         "qual_signs": list(r.qual_signs),
+         "qual_fields": list(r.qual_fields),
+         "qual_values": list(r.qual_values)}
         for r in rows
     ]
 
@@ -62,6 +69,8 @@ def _norm(p):
         "must_not": p["must_not"].split(),
         "phrases": p["phrases"],
         "slops": p["slops"],
+        "quals": list(zip(p["qual_signs"], p["qual_fields"],
+                          p["qual_values"])),
     }
 
 
@@ -89,6 +98,20 @@ class TestParserParity:
         assert p["phrases"] == ["keep +this -that"]
         assert p["must"] == "" and p["must_not"] == ""
         assert p["should"].split() == ["other"]
+
+    def test_py_mirror_qualifiers(self):
+        p = parse_query_string_py('+lang:en spark -source:x +must path:a/b')
+        assert list(zip(p["qual_signs"], p["qual_fields"],
+                        p["qual_values"])) == [
+            ("+", "lang", "en"), ("-", "source", "x"), ("", "path", "a/b")]
+        assert p["must"].split() == ["must"]
+        assert p["should"].split() == ["spark"]
+        assert p["must_not"] == ""
+
+    def test_qualifiers_not_parsed_inside_quotes(self):
+        p = parse_query_string_py('"lang:en stays" source:web')
+        assert p["phrases"] == ["lang:en stays"]
+        assert list(p["qual_fields"]) == ["source"]
 
 
 DOCS = [
@@ -157,6 +180,66 @@ class TestGates:
     def test_mixed_exact_and_sloppy_phrases(self, spark, tiny):
         docs = _run(spark, tiny, '"fast query"~2 "merge table"')
         assert set(docs) == {4, 5}
+
+
+# doc_id → (lang, source) metadata for the qualifier gates
+META = [(1, "en", "a"), (2, "fr", "a"), (3, "en", "b"),
+        (4, "en", "a"), (5, "fr", "b"), (6, "de", "a")]
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return spark.createDataFrame(
+        META, "doc_id long, lang string, source string")
+
+
+def _runq(spark, tiny, meta, s, k=10):
+    idx, pos = tiny
+    q = spark.createDataFrame([(1, s)], "query_id long, content string")
+    rows = query_string_topk(idx, pos, q, k=k, rank_round=6,
+                             meta=meta).collect()
+    return [r.doc_id for r in rows]
+
+
+class TestQualifierGates:
+    def test_positive_filters(self, spark, tiny, meta):
+        base = set(_runq(spark, tiny, meta, "fast"))
+        assert set(_runq(spark, tiny, meta, "fast lang:en")) == \
+            base & {1, 3, 4}
+        assert set(_runq(spark, tiny, meta, "fast lang:en source:a")) == \
+            base & {1, 4}
+
+    def test_negated_filter(self, spark, tiny, meta):
+        base = set(_runq(spark, tiny, meta, "fast"))
+        assert set(_runq(spark, tiny, meta, "fast -source:b")) == \
+            base - {3, 5}
+
+    def test_plus_sign_equals_bare_qualifier(self, spark, tiny, meta):
+        assert _runq(spark, tiny, meta, "fast +lang:en") == \
+            _runq(spark, tiny, meta, "fast lang:en")
+
+    def test_unknown_field_matches_nothing(self, spark, tiny, meta):
+        assert _runq(spark, tiny, meta, "fast nofield:x") == []
+
+    def test_contradictory_qualifiers_empty(self, spark, tiny, meta):
+        assert _runq(spark, tiny, meta, "fast lang:en lang:fr") == []
+
+    def test_qualifier_composes_with_phrase_and_not(self, spark, tiny,
+                                                    meta):
+        # exact phrase docs {1,4,5,6}, minus -row (doc 5), lang:en → {1,4}
+        docs = _runq(spark, tiny, meta, '"fast query" -row lang:en')
+        assert set(docs) == {1, 4}
+
+    def test_quals_without_meta_raise(self, spark, tiny):
+        idx, pos = tiny
+        q = spark.createDataFrame([(1, "fast lang:en")],
+                                  "query_id long, content string")
+        with pytest.raises(ValueError, match="qualifiers"):
+            query_string_topk(idx, pos, q, k=5)
+
+    def test_no_quals_ignores_missing_meta(self, spark, tiny):
+        # a batch with no qualifiers must not require meta
+        assert _run(spark, tiny, "fast")
 
 
 class TestCompositionParity:

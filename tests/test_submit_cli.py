@@ -214,9 +214,10 @@ def test_cli_positional_phrase(spark, corpus_path, tmp_path):
 
 
 def test_cli_qstring_matches_library(spark, index_path, corpus_path,
-                                     tmp_path):
+                                     documents, tmp_path):
     """build-positional → qstring through the CLI equals the library
-    query_string_topk on the same index (slop + exact + boolean mix)."""
+    query_string_topk on the same index (slop + exact + boolean +
+    metadata-qualifier mix)."""
     from invertedfiles_jl_spark.operators.positional import (
         positional_postings,
     )
@@ -232,9 +233,13 @@ def test_cli_qstring_matches_library(spark, index_path, corpus_path,
     assert rc == 0
     q_path = str(tmp_path / "qstrings")
     qstring_df(spark).write.mode("overwrite").parquet(q_path)
+    meta = documents.select("doc_id", "lang", "source")
+    meta_path = str(tmp_path / "meta")
+    meta.write.mode("overwrite").parquet(meta_path)
     out = str(tmp_path / "qstring_res")
     rc = submit_main.main(["qstring", "--index", index_path,
                            "--positional", pos_path, "--queries", q_path,
+                           "--meta", meta_path,
                            "--output", out, "--rank-round", "6"])
     assert rc == 0
     got = sorted((r.query_id, r.rank, r.doc_id)
@@ -244,7 +249,7 @@ def test_cli_qstring_matches_library(spark, index_path, corpus_path,
     want = sorted((r.query_id, r.rank, r.doc_id)
                   for r in query_string_topk(
                       idx, positional_postings(corpus), qstring_df(spark),
-                      k=10, rank_round=6).collect())
+                      k=10, rank_round=6, meta=meta).collect())
     assert got == want and len(got) > 0
 
 

@@ -423,14 +423,27 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                                p["qual_values"]):
             qrows.append(f"(CAST({qid} AS BIGINT), '{s}', '{fld}', '{val}')")
     if qrows:
-        fval = "CASE q.field WHEN 'lang' THEN d.lang WHEN 'source' THEN d.source END"
+        fval = ("CASE q.field WHEN 'lang' THEN d.lang "
+                "WHEN 'source' THEN d.source "
+                "WHEN 'n_chars' THEN CAST(d.n_chars AS VARCHAR) END")
+        # numeric-form mirror of operators.querystring._qual_sat
+        sat = f"""COALESCE(CASE
+            WHEN q.value LIKE '>=%' THEN try_cast({fval} AS DOUBLE) >= try_cast(substr(q.value, 3) AS DOUBLE)
+            WHEN q.value LIKE '<=%' THEN try_cast({fval} AS DOUBLE) <= try_cast(substr(q.value, 3) AS DOUBLE)
+            WHEN q.value LIKE '>%' THEN try_cast({fval} AS DOUBLE) > try_cast(substr(q.value, 2) AS DOUBLE)
+            WHEN q.value LIKE '<%' THEN try_cast({fval} AS DOUBLE) < try_cast(substr(q.value, 2) AS DOUBLE)
+            WHEN regexp_matches(q.value, '^[0-9.]+\\.\\.[0-9.]+$')
+              THEN try_cast({fval} AS DOUBLE)
+                     BETWEEN try_cast(string_split(q.value, '..')[1] AS DOUBLE)
+                         AND try_cast(string_split(q.value, '..')[2] AS DOUBLE)
+            ELSE {fval} = q.value END, FALSE)"""
         qual_cte_sql = f"""quals(query_id, sign, field, value) AS (VALUES {", ".join(qrows)}),
 nposq(query_id, n_pos) AS (VALUES {", ".join(npos_rows)}),
 qsat AS (
   SELECT q.query_id, d.doc_id,
-         CAST(sum(CASE WHEN q.sign <> '-' AND {fval} = q.value
+         CAST(sum(CASE WHEN q.sign <> '-' AND {sat}
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_sat,
-         CAST(sum(CASE WHEN q.sign = '-' AND {fval} = q.value
+         CAST(sum(CASE WHEN q.sign = '-' AND {sat}
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_sat
   FROM quals q CROSS JOIN documents d
   GROUP BY q.query_id, d.doc_id
@@ -1422,9 +1435,10 @@ def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir, "bm25")
     pos = positional_postings(_corpus(spark, sf_dir))
     meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "lang", "source")
+        "doc_id", "lang", "source", "n_chars")
     res = query_string_topk(idx, pos, qstring_df(spark), k=10, rank_round=6,
-                            meta=meta)
+                            meta=meta,
+                            qualifier_fields=("lang", "source", "n_chars"))
     return res.select("query_id", "rank", "doc_id",
                       F.round("score", 5).alias("score"))
 

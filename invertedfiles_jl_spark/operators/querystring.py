@@ -10,9 +10,10 @@ table, ``"..."~N`` ⇒ ordered proximity gate (words in order within a span
 of ``m-1+N`` tokens — the proximity DP; ordered-only, a documented
 departure from Lucene's transposition-cost slop), bare terms ⇒ should,
 ``field:value`` ⇒ metadata qualifier (GitHub-code-search style:
-``lang:py``, ``-source:vendored`` — a conjunctive filter over a doc
-metadata relation, never a scoring clause; unknown field ⇒ matches
-nothing).  Ranking is BM25 over the must + should + phrase terms a doc
+``lang:py``, ``-source:vendored``, numeric forms ``stars:>100``
+``stars:>=100`` ``stars:<100`` ``stars:<=100`` ``stars:50..200`` — a
+conjunctive filter over a doc metadata relation, never a scoring clause;
+unknown field ⇒ matches nothing).  Ranking is BM25 over the must + should + phrase terms a doc
 matches (phrases score like their words — Lucene's default — while ALSO
 gating on adjacency/proximity).
 
@@ -134,6 +135,34 @@ def parse_query_string_py(s: str) -> dict:
     }
 
 
+def _qual_sat(mval):
+    """Qualifier satisfaction predicate over the doc's field value
+    ``mval`` (string) and the qualifier's ``value`` column.
+
+    GitHub-style numeric forms on top of plain equality:
+    ``field:>N  field:>=N  field:<N  field:<=N  field:LO..HI`` —
+    evaluated numerically via ``try_cast`` (a non-numeric doc value or a
+    malformed bound is simply unsatisfied, never an error).  Everything
+    else is string equality.  NULL anywhere (unknown field, absent doc
+    row) collapses to unsatisfied — Lucene's unknown-field behavior."""
+    v = F.col("value")
+    ge, le = v.startswith(">="), v.startswith("<=")
+    gt, lt = v.startswith(">") & ~ge, v.startswith("<") & ~le
+    rng = v.rlike(r"^[0-9.]+\.\.[0-9.]+$")
+    mnum = mval.try_cast("double")
+    n2 = F.expr("try_cast(substring(value, 3) as double)")
+    n1 = F.expr("try_cast(substring(value, 2) as double)")
+    lo = F.expr(r"try_cast(split(value, '\\.\\.')[0] as double)")
+    hi = F.expr(r"try_cast(split(value, '\\.\\.')[1] as double)")
+    sat = (F.when(ge, mnum >= n2)
+           .when(le, mnum <= n2)
+           .when(gt, mnum > n1)
+           .when(lt, mnum < n1)
+           .when(rng, (mnum >= lo) & (mnum <= hi))
+           .otherwise(mval == v))
+    return F.coalesce(sat, F.lit(False))
+
+
 def query_string_topk(index: InvertedIndex, positional: DataFrame,
                       queries: DataFrame, k: int = 10,
                       rank_round: int | None = None,
@@ -155,7 +184,9 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     its query.
 
     Qualifier gates: ``field:value`` tokens (GitHub-code-search style,
-    e.g. ``lang:py``, ``-source:vendored``) are conjunctive filters over
+    e.g. ``lang:py``, ``-source:vendored``, ``stars:>100``,
+    ``stars:50..200`` — see :func:`_qual_sat` for the numeric forms) are
+    conjunctive filters over
     the ``meta`` relation (doc_id + the ``qualifier_fields`` columns):
     every positive qualifier must hold and no negated one may; a
     qualifier on an unknown field is unsatisfiable (the query matches
@@ -202,8 +233,7 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
             scored.select("query_id", "doc_id")
             .join(meta.select("doc_id", *qualifier_fields), "doc_id", "left")
             .join(F.broadcast(quals), "query_id")
-            .withColumn("sat", F.coalesce(mval == F.col("value"),
-                                          F.lit(False)))
+            .withColumn("sat", _qual_sat(mval))
             .groupBy("query_id", "doc_id")
             .agg(
                 F.sum(F.when((F.col("sign") != "-") & F.col("sat"), 1)

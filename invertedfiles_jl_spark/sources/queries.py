@@ -236,6 +236,8 @@ QSTRING_SET: list[tuple[int, str]] = [
     (15, '"fast query" source:src3'),
     (16, 'filter badfield:x'),
     (17, '+table scan lang:fr source:src1'),
+    (18, 'spark n_chars:>450'),
+    (19, 'merge lang:en n_chars:100..300'),
 ]
 
 

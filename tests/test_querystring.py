@@ -182,22 +182,25 @@ class TestGates:
         assert set(docs) == {4, 5}
 
 
-# doc_id → (lang, source) metadata for the qualifier gates
-META = [(1, "en", "a"), (2, "fr", "a"), (3, "en", "b"),
-        (4, "en", "a"), (5, "fr", "b"), (6, "de", "a")]
+# doc_id → (lang, source, stars) metadata for the qualifier gates; bare
+# "fast" matches docs {1, 2, 4, 5, 6}, so doc 2's stars sit exactly on
+# the 100 boundary to split > from >=
+META = [(1, "en", "a", 10), (2, "fr", "a", 100), (3, "en", "b", 50),
+        (4, "en", "a", 200), (5, "fr", "b", 500), (6, "de", "a", 1000)]
 
 
 @pytest.fixture(scope="module")
 def meta(spark):
     return spark.createDataFrame(
-        META, "doc_id long, lang string, source string")
+        META, "doc_id long, lang string, source string, stars long")
 
 
 def _runq(spark, tiny, meta, s, k=10):
     idx, pos = tiny
     q = spark.createDataFrame([(1, s)], "query_id long, content string")
-    rows = query_string_topk(idx, pos, q, k=k, rank_round=6,
-                             meta=meta).collect()
+    rows = query_string_topk(idx, pos, q, k=k, rank_round=6, meta=meta,
+                             qualifier_fields=("lang", "source", "stars"),
+                             ).collect()
     return [r.doc_id for r in rows]
 
 
@@ -229,6 +232,25 @@ class TestQualifierGates:
         # exact phrase docs {1,4,5,6}, minus -row (doc 5), lang:en → {1,4}
         docs = _runq(spark, tiny, meta, '"fast query" -row lang:en')
         assert set(docs) == {1, 4}
+
+    # bare "fast" matches {1,2,4,5,6}; stars by doc = 10/100/50/200/500/1000
+    def test_numeric_gt_vs_ge(self, spark, tiny, meta):
+        assert set(_runq(spark, tiny, meta, "fast stars:>100")) == {4, 5, 6}
+        assert set(_runq(spark, tiny, meta, "fast stars:>=100")) == \
+            {2, 4, 5, 6}
+
+    def test_numeric_lt_and_range(self, spark, tiny, meta):
+        assert set(_runq(spark, tiny, meta, "fast stars:<100")) == {1}
+        assert set(_runq(spark, tiny, meta, "fast stars:50..200")) == {2, 4}
+
+    def test_numeric_negated(self, spark, tiny, meta):
+        assert set(_runq(spark, tiny, meta, "fast -stars:>100")) == {1, 2}
+
+    def test_numeric_exact_equality_is_string(self, spark, tiny, meta):
+        assert set(_runq(spark, tiny, meta, "fast stars:200")) == {4}
+
+    def test_numeric_on_string_field_unsatisfied(self, spark, tiny, meta):
+        assert _runq(spark, tiny, meta, "fast lang:>10") == []
 
     def test_quals_without_meta_raise(self, spark, tiny):
         idx, pos = tiny

@@ -233,13 +233,14 @@ def test_cli_qstring_matches_library(spark, index_path, corpus_path,
     assert rc == 0
     q_path = str(tmp_path / "qstrings")
     qstring_df(spark).write.mode("overwrite").parquet(q_path)
-    meta = documents.select("doc_id", "lang", "source")
+    meta = documents.select("doc_id", "lang", "source", "n_chars")
     meta_path = str(tmp_path / "meta")
     meta.write.mode("overwrite").parquet(meta_path)
     out = str(tmp_path / "qstring_res")
     rc = submit_main.main(["qstring", "--index", index_path,
                            "--positional", pos_path, "--queries", q_path,
                            "--meta", meta_path,
+                           "--qualifier-fields", "lang,source,n_chars",
                            "--output", out, "--rank-round", "6"])
     assert rc == 0
     got = sorted((r.query_id, r.rank, r.doc_id)
@@ -249,7 +250,9 @@ def test_cli_qstring_matches_library(spark, index_path, corpus_path,
     want = sorted((r.query_id, r.rank, r.doc_id)
                   for r in query_string_topk(
                       idx, positional_postings(corpus), qstring_df(spark),
-                      k=10, rank_round=6, meta=meta).collect())
+                      k=10, rank_round=6, meta=meta,
+                      qualifier_fields=("lang", "source", "n_chars"),
+                  ).collect())
     assert got == want and len(got) > 0
 
 

@@ -101,6 +101,24 @@ def gen_phrases(spark, corpus, n=N_QUERIES):
     return spark.createDataFrame(rows, "query_id long, content string")
 
 
+def gen_qstrings(spark, corpus, n=N_QUERIES):
+    """Deterministic n query strings cycling the mini-language's clause
+    shapes (must / must_not / exact phrase / sloppy phrase / multi-must)
+    over the bench vocabulary, with phrase text lifted from real corpus
+    bigrams (gen_phrases protocol) so the positional gates have hits."""
+    terms = ["scan", "column", "window", "order", "sort", "merge", "query",
+             "join", "filter", "fast", "table", "stream", "batch", "data"]
+    phrases = [r["content"] for r in gen_phrases(spark, corpus, n).collect()]
+    rows = []
+    for i in range(n):
+        a, b, c = (terms[(i * 5 + j * 3) % len(terms)] for j in range(3))
+        ph = phrases[i % len(phrases)]
+        s = [f"+{a} {b}", f"{a} -{b} {c}", f'"{ph}" {a}',
+             f'"{ph}"~3 {a}', f"+{a} +{b} {c}"][i % 5]
+        rows.append((i + 1, s))
+    return spark.createDataFrame(rows, "query_id long, content string")
+
+
 def scaled_corpus(spark, factor: int):
     """Deterministically replicate the corpus ×factor with shifted doc_ids —
     makes the scaling measurement compute-bound instead of overhead-bound."""
@@ -354,6 +372,21 @@ def run_once(cpus: int) -> dict:
             phrase_topk, pos, pdf, k=10, vocab=idx.vocab)
         out["proximity_100q"] = timed_query(
             proximity_topk, pos, pdf, k=10, max_span=8)
+
+        # query-string serving: the composite plan (boolean gates + BM25 +
+        # phrase/proximity gates) end-to-end over a persisted bm25 index +
+        # the positional layout.  NOT `idx`: the shared-tf re-weight rows
+        # above rebuilt bm252/postings in place (normcosine, then binary),
+        # so bm252 no longer holds bm25 postings — bm250 (first timed
+        # build) is untouched.
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_topk,
+        )
+
+        qidx = load_index(spark, f"{tmp}/bm250")
+        qsdf = gen_qstrings(spark, corpus)
+        out["qstring_100q"] = timed_query(
+            query_string_topk, qidx, pos, qsdf, k=10)
 
         # trigram substring index — the third index family (build persisted;
         # the query row times rarest-gram candidates + exact verify)

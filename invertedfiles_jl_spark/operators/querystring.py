@@ -170,7 +170,7 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
                       content_col: str = "content",
                       meta: DataFrame | None = None,
                       qualifier_fields: tuple[str, ...] = ("lang", "source"),
-                      ) -> DataFrame:
+                      default_operator: str = "or") -> DataFrame:
     """Parse + execute: top-``k`` (query_id, rank, doc_id, score).
 
     Phrase gates: a ``"..."`` phrase requires exact adjacency
@@ -193,32 +193,59 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     nothing, Lucene's unknown-field behavior).  Qualifiers never score —
     a pure-qualifier query has no scoring clause and returns no rows.
     ``meta`` is required only when the batch actually carries
-    qualifiers."""
+    qualifiers.
+
+    ``default_operator``: ``"or"`` (Lucene's default — bare terms are
+    optional should clauses) or ``"and"`` (every bare term required, the
+    Elasticsearch ``default_operator: AND`` setting)."""
     from invertedfiles_jl_spark.functions.tokenize import tokens_sql
     from invertedfiles_jl_spark.operators.positional import (
         _chain_ends,
         phrase_matches,
     )
 
+    assert default_operator in ("or", "and"), default_operator
     cfg = cfg or index.cfg
     parsed = parse_query_strings(queries, content_col)
-    # phrases rank like their words: fold phrase text into the should field
-    scoring = parsed.select(
-        "query_id", "must", "must_not", "phrases",
-        F.concat_ws(" ", F.col("should"),
-                    F.array_join(F.col("phrases"), " ")).alias("should"),
-    )
+    # phrases rank like their words: fold phrase text into the should
+    # field.  default_operator="and" (Lucene QueryParser AND mode) folds
+    # the bare terms into must instead — every unmarked term becomes
+    # required; phrase words stay should-only for scoring (the phrase is
+    # already a gate of its own).
+    if default_operator == "and":
+        scoring = parsed.select(
+            "query_id", "must_not", "phrases",
+            F.concat_ws(" ", F.col("must"), F.col("should")).alias("must"),
+            F.array_join(F.col("phrases"), " ").alias("should"),
+        )
+    else:
+        scoring = parsed.select(
+            "query_id", "must", "must_not", "phrases",
+            F.concat_ws(" ", F.col("should"),
+                        F.array_join(F.col("phrases"), " ")).alias("should"),
+        )
     scored = _boolean_scored(index, scoring)
 
-    quals = parsed.select(
-        "query_id",
-        F.explode(F.arrays_zip(
-            F.col("qual_signs").alias("sign"),
-            F.col("qual_fields").alias("field"),
-            F.col("qual_values").alias("value"))).alias("q"),
-    ).select("query_id", "q.sign", "q.field", "q.value")
-    # tiny-relation driver check (same contract as the sloppy branch below)
-    if not quals.isEmpty():
+    # ONE tiny-relation driver action decides which gate families this
+    # batch needs (the query batch is driver-sized by contract, same as
+    # _chain_ends' own max(m) action).  A batch without phrases /
+    # qualifiers keeps its physical plan free of the corresponding
+    # subtree — no positional scan, no meta join — instead of dragging
+    # empty-but-planned gate joins through every execution.
+    flags = parsed.agg(
+        F.sum(F.size("phrases")).alias("n_ph"),
+        F.sum(F.expr("size(filter(slops, s -> s > 0))")).alias("n_sloppy"),
+        F.sum(F.size("qual_fields")).alias("n_quals"),
+    ).first()
+
+    if flags["n_quals"]:
+        quals = parsed.select(
+            "query_id",
+            F.explode(F.arrays_zip(
+                F.col("qual_signs").alias("sign"),
+                F.col("qual_fields").alias("field"),
+                F.col("qual_values").alias("value"))).alias("q"),
+        ).select("query_id", "q.sign", "q.field", "q.value")
         if meta is None:
             raise ValueError(
                 "query strings carry field:value qualifiers — pass `meta` "
@@ -252,6 +279,10 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
             .select("query_id", "doc_id", "score")
         )
 
+    if not flags["n_ph"]:
+        return topk(scored, k, "score", ascending=False,
+                    rank_round=rank_round)
+
     pq = parsed.select(
         "query_id", F.posexplode("phrases").alias("pidx", "content"),
         F.col("slops"),
@@ -262,11 +293,13 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     )
     exact = pq.filter(F.col("slop") == 0).select("query_id", "content")
     sloppy = pq.filter(F.col("slop") > 0)
-    hits = phrase_matches(positional, exact, cfg).select("query_id", "doc_id")
-    # tiny-relation driver check (the query batch is driver-sized by
-    # contract, same as _chain_ends' own max(m) action): a no-slop batch
-    # keeps its plan byte-identical to the exact-only path
-    if not sloppy.isEmpty():
+    # each phrase family contributes its subtree only when present — an
+    # all-sloppy batch skips the exact intersection plan and vice versa
+    hits = None
+    if flags["n_ph"] - flags["n_sloppy"]:
+        hits = phrase_matches(positional, exact, cfg).select(
+            "query_id", "doc_id")
+    if flags["n_sloppy"]:
         budgets = sloppy.select(
             "query_id",
             (F.size(F.expr(tokens_sql("content", cfg))) - 1
@@ -282,7 +315,7 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
             .filter(F.col("min_span") <= F.col("span_budget"))
             .select("query_id", "doc_id")
         )
-        hits = hits.unionByName(shits)
+        hits = shits if hits is None else hits.unionByName(shits)
     hit = (
         hits.select(
             F.floor(F.col("query_id") / MAX_PHRASES).alias("query_id"),

@@ -223,6 +223,10 @@ def main(argv=None):
     qs.add_argument("--qualifier-fields", default="lang,source",
                     help="comma-separated metadata columns addressable as "
                          "field:value qualifiers")
+    qs.add_argument("--default-operator", default="or",
+                    choices=["or", "and"],
+                    help="bare-term semantics: or = optional (Lucene "
+                         "default), and = every bare term required")
 
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
@@ -423,7 +427,8 @@ def main(argv=None):
         res = query_string_topk(
             idx, pos, queries, k=args.k, rank_round=args.rank_round,
             meta=meta,
-            qualifier_fields=tuple(args.qualifier_fields.split(",")))
+            qualifier_fields=tuple(args.qualifier_fields.split(",")),
+            default_operator=args.default_operator)
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote query-string results to {args.output}")
         return 0

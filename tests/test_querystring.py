@@ -264,6 +264,48 @@ class TestQualifierGates:
         assert _run(spark, tiny, "fast")
 
 
+class TestDefaultOperator:
+    def _and(self, spark, tiny, s, k=10):
+        idx, pos = tiny
+        q = spark.createDataFrame([(1, s)],
+                                  "query_id long, content string")
+        rows = query_string_topk(idx, pos, q, k=k, rank_round=6,
+                                 default_operator="and").collect()
+        return [(r.doc_id, round(r.score, 9)) for r in rows]
+
+    def test_and_mode_requires_every_bare_term(self, spark, tiny):
+        # OR mode: any doc with fast or merge; AND mode: both required
+        or_docs = set(_run(spark, tiny, "fast merge"))
+        and_docs = {d for d, _ in self._and(spark, tiny, "fast merge")}
+        assert or_docs == {1, 2, 3, 4, 5, 6}
+        assert and_docs == {4, 5, 6}
+
+    def test_and_mode_equals_explicit_must(self, spark, tiny):
+        assert self._and(spark, tiny, "fast merge") == \
+            self._and(spark, tiny, "+fast +merge")
+
+    def test_and_mode_phrase_words_not_musted(self, spark, tiny):
+        # the phrase gates; its words must NOT each become a required
+        # term beyond the gate (identical result sets here, but the
+        # plan must not reject docs lacking... a doc containing the
+        # phrase contains its words, so assert vs OR mode directly)
+        a = self._and(spark, tiny, '"fast query"')
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             (lambda idx, pos: query_string_topk(
+                 idx, pos, spark.createDataFrame(
+                     [(1, '"fast query"')],
+                     "query_id long, content string"),
+                 k=10, rank_round=6))(*tiny).collect()]
+        assert a == b
+
+    def test_bad_operator_rejected(self, spark, tiny):
+        idx, pos = tiny
+        q = spark.createDataFrame([(1, "x")],
+                                  "query_id long, content string")
+        with pytest.raises(AssertionError):
+            query_string_topk(idx, pos, q, default_operator="not")
+
+
 class TestCompositionParity:
     def test_phrase_free_equals_boolean(self, spark, tiny):
         """A string with no phrases must reproduce boolean_topk exactly:

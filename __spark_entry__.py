@@ -340,33 +340,25 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
-    """Query-string (Lucene ``QueryParser`` mini-language) oracle.
-
-    The fixture strings are parsed HERE with the same Python mirror the
-    tests gate against the distributed parser
-    (operators/querystring.parse_query_string_py), and the parsed clauses
-    are inlined as literals: the boolean oracle's gates (must-coverage +
-    must_not anti-join) plus, per phrase, an exact-adjacency branch (the
-    start-survival predicate of :func:`_phrase_bm25_sql`) or — for a
-    ``~N`` sloppy phrase — an ordered m-way position join requiring min
-    ordered span ≤ m-1+N (the proximity oracle's shape) — plus conjunctive
-    ``field:value`` metadata-qualifier gates over (lang, source).  Scoring
-    folds phrase words into should — Lucene's default, phrases rank like
-    their words — and a doc must satisfy EVERY phrase and qualifier of its
-    query."""
+def _qstring_parsed():
+    """QSTRING_SET parsed with the same Python mirror the tests gate
+    against the distributed parser."""
     from invertedfiles_jl_spark.operators.querystring import (
         parse_query_string_py,
     )
     from invertedfiles_jl_spark.sources.queries import QSTRING_SET
 
-    parsed = [(qid, parse_query_string_py(s)) for qid, s in QSTRING_SET]
-    rows = ", ".join(
-        "(CAST({} AS BIGINT), '{}', '{}', '{}')".format(
-            qid, p["must"],
-            (p["should"] + " " + " ".join(p["phrases"])).strip(),
-            p["must_not"])
-        for qid, p in parsed)
+    return [(qid, parse_query_string_py(s)) for qid, s in QSTRING_SET]
+
+
+def _qstring_gate_sql(parsed, alias: str) -> dict:
+    """Shared gate-SQL generation for the query-string oracles: phrase
+    branches over ``tsx`` (exact = _phrase_bm25_sql's start-survival
+    predicate, sloppy = proximity_topk_sql's ordered m-way join with min
+    span ≤ m-1+N), per-query phrase counts, and the qualifier CTEs/joins
+    (equality + the numeric >/>=/</<=/lo..hi forms of _qual_sat) over
+    (lang, source, n_chars).  ``alias`` is the candidate relation the
+    gate joins attach to."""
     branches, nph_rows, pos_ctes = [], [], []
     for qid, p in parsed:
         nph_rows.append(
@@ -408,11 +400,14 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                 f"  GROUP BY e0.doc_id\n"
                 f"  HAVING min(e{m - 1}.p - e0.p) <= {m - 1 + slop}"
             )
-    gate = "\n  UNION ALL\n".join(branches)
-    pos_cte_sql = "".join(c + ",\n" for c in pos_ctes)
-    # metadata qualifiers: conjunctive filters over (lang, source) — the
-    # same coalesce-counting gate shape as phrases, CROSS JOIN quals ×
-    # documents at fixture scale (production gates candidates only)
+    out = {
+        "gate": "\n  UNION ALL\n".join(branches),
+        "pos_cte_sql": "".join(c + ",\n" for c in pos_ctes),
+        "nph_rows": nph_rows,
+    }
+    # metadata qualifiers: conjunctive filters — the same coalesce-counting
+    # gate shape as phrases, CROSS JOIN quals × documents at fixture scale
+    # (production gates candidates only)
     qrows, npos_rows = [], []
     for qid, p in parsed:
         n_pos = sum(1 for s in p["qual_signs"] if s != "-")
@@ -437,7 +432,7 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                      BETWEEN try_cast(string_split(q.value, '..')[1] AS DOUBLE)
                          AND try_cast(string_split(q.value, '..')[2] AS DOUBLE)
             ELSE {fval} = q.value END, FALSE)"""
-        qual_cte_sql = f"""quals(query_id, sign, field, value) AS (VALUES {", ".join(qrows)}),
+        out["qual_cte_sql"] = f"""quals(query_id, sign, field, value) AS (VALUES {", ".join(qrows)}),
 nposq(query_id, n_pos) AS (VALUES {", ".join(npos_rows)}),
 qsat AS (
   SELECT q.query_id, d.doc_id,
@@ -449,15 +444,45 @@ qsat AS (
   GROUP BY q.query_id, d.doc_id
 ),
 """
-        qual_joins = (
-            "  LEFT JOIN nposq ON nposq.query_id = s.query_id\n"
-            "  LEFT JOIN qsat qq ON qq.query_id = s.query_id "
-            "AND qq.doc_id = s.doc_id\n")
-        qual_pred = (
+        out["qual_joins"] = (
+            f"  LEFT JOIN nposq ON nposq.query_id = {alias}.query_id\n"
+            f"  LEFT JOIN qsat qq ON qq.query_id = {alias}.query_id "
+            f"AND qq.doc_id = {alias}.doc_id\n")
+        out["qual_pred"] = (
             "    AND COALESCE(nposq.n_pos, 0) = COALESCE(qq.n_pos_sat, 0)\n"
             "    AND COALESCE(qq.n_neg_sat, 0) = 0\n")
     else:
-        qual_cte_sql, qual_joins, qual_pred = "", "", ""
+        out["qual_cte_sql"] = out["qual_joins"] = out["qual_pred"] = ""
+    return out
+
+
+def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Query-string (Lucene ``QueryParser`` mini-language) oracle.
+
+    The fixture strings are parsed HERE with the same Python mirror the
+    tests gate against the distributed parser
+    (operators/querystring.parse_query_string_py), and the parsed clauses
+    are inlined as literals: the boolean oracle's gates (must-coverage +
+    must_not anti-join) plus, per phrase, an exact-adjacency branch (the
+    start-survival predicate of :func:`_phrase_bm25_sql`) or — for a
+    ``~N`` sloppy phrase — an ordered m-way position join requiring min
+    ordered span ≤ m-1+N (the proximity oracle's shape) — plus conjunctive
+    ``field:value`` metadata-qualifier gates over (lang, source).  Scoring
+    folds phrase words into should — Lucene's default, phrases rank like
+    their words — and a doc must satisfy EVERY phrase and qualifier of its
+    query."""
+    parsed = _qstring_parsed()
+    rows = ", ".join(
+        "(CAST({} AS BIGINT), '{}', '{}', '{}')".format(
+            qid, p["must"],
+            (p["should"] + " " + " ".join(p["phrases"])).strip(),
+            p["must_not"])
+        for qid, p in parsed)
+    g = _qstring_gate_sql(parsed, alias="s")
+    gate, pos_cte_sql = g["gate"], g["pos_cte_sql"]
+    nph_rows = g["nph_rows"]
+    qual_cte_sql, qual_joins, qual_pred = (
+        g["qual_cte_sql"], g["qual_joins"], g["qual_pred"])
     mtok = _TOK.format(col="must")
     ntok = _TOK.format(col="must_not")
     stok = _TOK.format(col="concat(must, ' ', should)")
@@ -535,6 +560,104 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 5) AS score
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _qstring_percolate_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for query-string percolation: every (query, doc) pair
+    passing the mini-language gates.
+
+    Scoring = the frozen-stats BM25 of :func:`_percolate_sql` over the
+    query's scoring terms (must + should + phrase words; vocab-joined, so
+    index-OOV terms score 0), DISJUNCTIVE (n_matched ≥ 1).  Gates = must
+    coverage counted on RAW tokens against the doc's distinct token set
+    (a doc can satisfy a term the index never saw), must_not anti-join on
+    the same, plus the shared phrase and qualifier gate SQL of
+    :func:`_qstring_gate_sql`."""
+    parsed = _qstring_parsed()
+    srows = ", ".join(
+        "(CAST({} AS BIGINT), '{}')".format(
+            qid, (p["must"] + " " + p["should"] + " "
+                  + " ".join(p["phrases"])).strip())
+        for qid, p in parsed)
+    mrows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{p['must']}')" for qid, p in parsed)
+    nrows = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{p['must_not']}')" for qid, p in parsed)
+    g = _qstring_gate_sql(parsed, alias="per")
+    tok = _TOK.format(col="content")
+    return f"""
+WITH {_BASE_CTES},
+tsx AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS ts FROM documents
+),
+{g["pos_cte_sql"]}sq(query_id, content) AS (VALUES {srows}),
+sqt AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM (SELECT query_id, unnest({tok}) AS term FROM sq)
+  GROUP BY query_id, term
+),
+qterm AS (
+  SELECT query_id, sqt.term, qtf,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM sqt JOIN vocab ON sqt.term = vocab.term CROSS JOIN stats
+),
+per AS (
+  SELECT tf.doc_id, qterm.query_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         sum(qtf * idf * (tf * ({k1} + 1.0)
+             / (tf + {k1} * ((1.0 - {b}) + {b} * doc_len / avgdl)))) AS score
+  FROM qterm
+  JOIN tf ON qterm.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, qterm.query_id
+),
+dtt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tsx),
+mq(query_id, content) AS (VALUES {mrows}),
+mtok AS (
+  SELECT DISTINCT query_id, unnest({tok}) AS term FROM mq
+),
+nmust AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_must
+  FROM mtok GROUP BY query_id
+),
+musthit AS (
+  SELECT m.query_id, dtt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_must_hit
+  FROM mtok m JOIN dtt ON dtt.term = m.term
+  GROUP BY m.query_id, dtt.doc_id
+),
+nq(query_id, content) AS (VALUES {nrows}),
+ntok AS (SELECT DISTINCT query_id, unnest({tok}) AS term FROM nq),
+excluded AS (
+  SELECT DISTINCT n.query_id, dtt.doc_id
+  FROM ntok n JOIN dtt ON dtt.term = n.term
+),
+phhit AS (
+  SELECT query_id, doc_id,
+         CAST(count(DISTINCT pidx) AS BIGINT) AS n_ph_hit
+  FROM (
+{g["gate"]}
+  ) GROUP BY query_id, doc_id
+),
+nph(query_id, n_ph) AS (VALUES {", ".join(g["nph_rows"])}),
+{g["qual_cte_sql"]}gated AS (
+  SELECT per.query_id, per.doc_id, per.n_matched, per.score
+  FROM per
+  LEFT JOIN nmust ON nmust.query_id = per.query_id
+  LEFT JOIN musthit mh ON mh.query_id = per.query_id
+                      AND mh.doc_id = per.doc_id
+  LEFT JOIN nph ON nph.query_id = per.query_id
+  LEFT JOIN phhit ph ON ph.query_id = per.query_id
+                    AND ph.doc_id = per.doc_id
+{g["qual_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_must_hit, 0)
+    AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
+{g["qual_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.query_id = per.query_id
+                      AND x.doc_id = per.doc_id)
+)
+SELECT query_id, doc_id, n_matched, round(score, 5) AS score FROM gated
 """
 
 
@@ -1440,6 +1563,33 @@ def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             meta=meta,
                             qualifier_fields=("lang", "source", "n_chars"))
     return res.select("query_id", "rank", "doc_id",
+                      F.round("score", 5).alias("score"))
+
+
+def _q_qstring_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with query-string standing queries
+    (operators/querystring.query_string_percolate): every (query, doc)
+    pair where the doc passes the full mini-language — must on raw
+    tokens, must_not anti, phrase adjacency/proximity over the batch's
+    positional postings, metadata qualifiers against the docs' own
+    (lang, source, n_chars) columns — scored with the frozen-stats BM25
+    of the streaming server.  Same QSTRING_SET standing relation as
+    query_string_topk."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_percolate,
+    )
+    from invertedfiles_jl_spark.sources.queries import qstring_df
+
+    idx = _index(spark, sf_dir, "bm25")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content"), "lang", "source",
+        "n_chars")
+    res = query_string_percolate(
+        idx, qstring_df(spark), docs,
+        qualifier_fields=("lang", "source", "n_chars"))
+    return res.select("query_id", "doc_id", "n_matched",
                       F.round("score", 5).alias("score"))
 
 
@@ -3234,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "query_string_topk": _q_query_string_topk,
+        "qstring_percolate": _q_qstring_percolate,
         "doc_keywords": _q_doc_keywords,
         "suggest_terms": _q_suggest_terms,
         "hash_split": _q_hash_split,
@@ -3344,6 +3495,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "pack_sequences": _osql.pack_sequences_sql(_PACK_CTX),
         "boolean_topk": _boolean_sql(),
         "query_string_topk": _query_string_sql(),
+        "qstring_percolate": _qstring_percolate_sql(),
         "doc_keywords": _doc_keywords_sql(n=5),
         "suggest_terms": _suggest_terms_sql(PREFIX_SET),
         "hash_split": _osql.hash_split_sql(_SPLIT_WEIGHTS),

@@ -198,90 +198,108 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     ``default_operator``: ``"or"`` (Lucene's default — bare terms are
     optional should clauses) or ``"and"`` (every bare term required, the
     Elasticsearch ``default_operator: AND`` setting)."""
-    from invertedfiles_jl_spark.functions.tokenize import tokens_sql
-    from invertedfiles_jl_spark.operators.positional import (
-        _chain_ends,
-        phrase_matches,
-    )
-
     assert default_operator in ("or", "and"), default_operator
     cfg = cfg or index.cfg
     parsed = parse_query_strings(queries, content_col)
-    # phrases rank like their words: fold phrase text into the should
-    # field.  default_operator="and" (Lucene QueryParser AND mode) folds
-    # the bare terms into must instead — every unmarked term becomes
-    # required; phrase words stay should-only for scoring (the phrase is
-    # already a gate of its own).
+    scored = _boolean_scored(index, _fold_clauses(parsed, default_operator))
+    flags = _clause_flags(parsed)
+    if flags["n_quals"]:
+        if meta is None:
+            raise ValueError(
+                "query strings carry field:value qualifiers — pass `meta` "
+                "(doc_id + " + ", ".join(qualifier_fields) + ")")
+        scored = _qualifier_filter(scored, parsed, meta, qualifier_fields)
+    if flags["n_ph"]:
+        scored = _phrase_filter(scored, parsed, positional, cfg, flags)
+    return topk(scored.select("query_id", "doc_id", "score"),
+                k, "score", ascending=False, rank_round=rank_round)
+
+
+def _fold_clauses(parsed: DataFrame, default_operator: str) -> DataFrame:
+    """(query_id, must, should, must_not) scoring/gating clause relation.
+
+    Phrases rank like their words: phrase text folds into the should
+    field.  ``default_operator="and"`` (Lucene QueryParser AND mode)
+    folds the BARE terms into must instead — every unmarked term becomes
+    required; phrase words stay should-only (the phrase is already a gate
+    of its own)."""
     if default_operator == "and":
-        scoring = parsed.select(
-            "query_id", "must_not", "phrases",
+        return parsed.select(
+            "query_id", "must_not",
             F.concat_ws(" ", F.col("must"), F.col("should")).alias("must"),
             F.array_join(F.col("phrases"), " ").alias("should"),
         )
-    else:
-        scoring = parsed.select(
-            "query_id", "must", "must_not", "phrases",
-            F.concat_ws(" ", F.col("should"),
-                        F.array_join(F.col("phrases"), " ")).alias("should"),
-        )
-    scored = _boolean_scored(index, scoring)
+    return parsed.select(
+        "query_id", "must", "must_not",
+        F.concat_ws(" ", F.col("should"),
+                    F.array_join(F.col("phrases"), " ")).alias("should"),
+    )
 
-    # ONE tiny-relation driver action decides which gate families this
-    # batch needs (the query batch is driver-sized by contract, same as
-    # _chain_ends' own max(m) action).  A batch without phrases /
-    # qualifiers keeps its physical plan free of the corresponding
-    # subtree — no positional scan, no meta join — instead of dragging
-    # empty-but-planned gate joins through every execution.
-    flags = parsed.agg(
+
+def _clause_flags(parsed: DataFrame):
+    """ONE tiny-relation driver action deciding which gate families a
+    batch needs (the query batch is driver-sized by contract, same as
+    the proximity DP's own max(m) action).  A batch without phrases /
+    qualifiers keeps its physical plan free of the corresponding
+    subtree — no positional scan, no meta join — instead of dragging
+    empty-but-planned gate joins through every execution."""
+    return parsed.agg(
         F.sum(F.size("phrases")).alias("n_ph"),
         F.sum(F.expr("size(filter(slops, s -> s > 0))")).alias("n_sloppy"),
         F.sum(F.size("qual_fields")).alias("n_quals"),
     ).first()
 
-    if flags["n_quals"]:
-        quals = parsed.select(
-            "query_id",
-            F.explode(F.arrays_zip(
-                F.col("qual_signs").alias("sign"),
-                F.col("qual_fields").alias("field"),
-                F.col("qual_values").alias("value"))).alias("q"),
-        ).select("query_id", "q.sign", "q.field", "q.value")
-        if meta is None:
-            raise ValueError(
-                "query strings carry field:value qualifiers — pass `meta` "
-                "(doc_id + " + ", ".join(qualifier_fields) + ")")
-        mval = F.element_at(
-            F.create_map(*[x for f in qualifier_fields
-                           for x in (F.lit(f), F.col(f).cast("string"))]),
-            F.col("field"))
-        npos = quals.filter(F.col("sign") != "-").groupBy("query_id").agg(
-            F.count("*").cast("long").alias("n_pos_quals"))
-        qsat = (
-            scored.select("query_id", "doc_id")
-            .join(meta.select("doc_id", *qualifier_fields), "doc_id", "left")
-            .join(F.broadcast(quals), "query_id")
-            .withColumn("sat", _qual_sat(mval))
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.sum(F.when((F.col("sign") != "-") & F.col("sat"), 1)
-                      .otherwise(0)).cast("long").alias("n_pos_sat"),
-                F.sum(F.when((F.col("sign") == "-") & F.col("sat"), 1)
-                      .otherwise(0)).cast("long").alias("n_neg_sat"),
-            )
-        )
-        zero = F.lit(0).cast("long")
-        scored = (
-            scored.join(F.broadcast(npos), "query_id", "left")
-            .join(qsat, ["query_id", "doc_id"], "left")
-            .filter((F.coalesce("n_pos_quals", zero) ==
-                     F.coalesce("n_pos_sat", zero)) &
-                    (F.coalesce("n_neg_sat", zero) == zero))
-            .select("query_id", "doc_id", "score")
-        )
 
-    if not flags["n_ph"]:
-        return topk(scored, k, "score", ascending=False,
-                    rank_round=rank_round)
+def _qualifier_filter(cand: DataFrame, parsed: DataFrame, meta: DataFrame,
+                      qualifier_fields: tuple[str, ...]) -> DataFrame:
+    """Filter candidate rows (unique per (query_id, doc_id), any extra
+    columns preserved) by the conjunctive qualifier gates."""
+    quals = parsed.select(
+        "query_id",
+        F.explode(F.arrays_zip(
+            F.col("qual_signs").alias("sign"),
+            F.col("qual_fields").alias("field"),
+            F.col("qual_values").alias("value"))).alias("q"),
+    ).select("query_id", "q.sign", "q.field", "q.value")
+    mval = F.element_at(
+        F.create_map(*[x for f in qualifier_fields
+                       for x in (F.lit(f), F.col(f).cast("string"))]),
+        F.col("field"))
+    npos = quals.filter(F.col("sign") != "-").groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_pos_quals"))
+    qsat = (
+        cand.select("query_id", "doc_id")
+        .join(meta.select("doc_id", *qualifier_fields), "doc_id", "left")
+        .join(F.broadcast(quals), "query_id")
+        .withColumn("sat", _qual_sat(mval))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.when((F.col("sign") != "-") & F.col("sat"), 1)
+                  .otherwise(0)).cast("long").alias("n_pos_sat"),
+            F.sum(F.when((F.col("sign") == "-") & F.col("sat"), 1)
+                  .otherwise(0)).cast("long").alias("n_neg_sat"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        cand.join(F.broadcast(npos), "query_id", "left")
+        .join(qsat, ["query_id", "doc_id"], "left")
+        .filter((F.coalesce("n_pos_quals", zero) ==
+                 F.coalesce("n_pos_sat", zero)) &
+                (F.coalesce("n_neg_sat", zero) == zero))
+        .drop("n_pos_quals", "n_pos_sat", "n_neg_sat")
+    )
+
+
+def _phrase_filter(cand: DataFrame, parsed: DataFrame, positional: DataFrame,
+                   cfg: IndexConfig, flags) -> DataFrame:
+    """Filter candidate rows by the per-phrase adjacency/proximity gates
+    (a doc must satisfy EVERY phrase of its query)."""
+    from invertedfiles_jl_spark.functions.tokenize import tokens_sql
+    from invertedfiles_jl_spark.operators.positional import (
+        _chain_ends,
+        phrase_matches,
+    )
 
     pq = parsed.select(
         "query_id", F.posexplode("phrases").alias("pidx", "content"),
@@ -325,11 +343,95 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     )
     need = parsed.select(
         "query_id", F.size("phrases").alias("n_phrases"))
-    gated = (
-        scored.join(F.broadcast(need), "query_id", "left")
+    return (
+        cand.join(F.broadcast(need), "query_id", "left")
         .join(hit, ["query_id", "doc_id"], "left")
         .filter(F.coalesce("n_phrases", F.lit(0)) ==
                 F.coalesce("n_ph_hit", F.lit(0)))
-        .select("query_id", "doc_id", "score")
+        .drop("n_phrases", "n_ph_hit")
     )
-    return topk(gated, k, "score", ascending=False, rank_round=rank_round)
+
+
+def query_string_percolate(index: InvertedIndex, standing: DataFrame,
+                           docs: DataFrame, cfg: IndexConfig | None = None,
+                           content_col: str = "content",
+                           meta: DataFrame | None = None,
+                           qualifier_fields: tuple[str, ...] = (),
+                           default_operator: str = "or") -> DataFrame:
+    """Percolate a document batch against STANDING queries written in the
+    full mini-language — the Elasticsearch percolator with query-string
+    queries, and the case the distributed parser exists for: the standing
+    relation may be millions of saved searches, parsed as column work.
+
+    Returns every (query_id, doc_id, n_matched, score) pair where the doc
+    satisfies the query: all must terms present (compared on RAW tokens —
+    a streamed doc can match a term the index snapshot has never seen),
+    ≥ 1 scoring term in OR mode (every bare term in AND mode), no
+    must_not term, every phrase (adjacency/proximity over the batch's own
+    positional postings) and every qualifier (against ``meta``, default
+    the doc batch itself — incoming docs carry their own metadata
+    columns).  ``score``/``n_matched`` are the frozen-stats BM25 of
+    :func:`~invertedfiles_jl_spark.streaming.serve.percolate` over the
+    query's scoring terms (index-OOV terms gate but score 0).
+
+    Scale shape: the standing relation broadcasts (same stream-static
+    contract as the streaming server); per-batch work is the matched
+    occurrence rows, the batch's own positional build (only when any
+    standing query carries a phrase), and candidate-keyed gate joins —
+    the index contributes vocab stats only, no posting lists."""
+    from invertedfiles_jl_spark.functions.tokenize import exploded_terms
+    from invertedfiles_jl_spark.operators.positional import (
+        positional_postings,
+    )
+    from invertedfiles_jl_spark.streaming.serve import percolate
+
+    assert default_operator in ("or", "and"), default_operator
+    cfg = cfg or index.cfg
+    parsed = parse_query_strings(standing, "content")
+    folded = _fold_clauses(parsed, default_operator)
+    flags = _clause_flags(parsed)
+
+    sq = folded.select(
+        "query_id",
+        F.concat_ws(" ", F.col("must"), F.col("should")).alias("content"))
+    per = percolate(index, sq, docs, require_all=False,
+                    content_col=content_col)
+
+    # raw-token clause gates: doc term sets vs the broadcast clause tokens
+    dt = exploded_terms(docs, "doc_id", "doc_id", content_col, cfg).distinct()
+
+    def clause_tokens(col):
+        # (query_id, term) — exploded_terms' doc_out slot carries the
+        # query id here
+        return exploded_terms(
+            folded.select("query_id", col), "query_id", "query_id", col, cfg
+        ).distinct()
+
+    mt = clause_tokens("must")
+    n_must = mt.groupBy("query_id").agg(
+        F.countDistinct("term").cast("long").alias("n_must"))
+    musthit = (
+        dt.join(F.broadcast(mt), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_must_hit"))
+    )
+    zero = F.lit(0).cast("long")
+    per = (
+        per.join(F.broadcast(n_must), "query_id", "left")
+        .join(musthit, ["doc_id", "query_id"], "left")
+        .filter(F.coalesce("n_must", zero) == F.coalesce("n_must_hit", zero))
+        .drop("n_must", "n_must_hit")
+    )
+    nt = clause_tokens("must_not")
+    excluded = dt.join(F.broadcast(nt), "term").select(
+        "doc_id", "query_id").distinct()
+    per = per.join(excluded, ["doc_id", "query_id"], "left_anti")
+
+    if flags["n_quals"]:
+        per = _qualifier_filter(
+            per, parsed, meta if meta is not None else docs,
+            qualifier_fields)
+    if flags["n_ph"]:
+        pos = positional_postings(docs, cfg, "doc_id", content_col)
+        per = _phrase_filter(per, parsed, pos, cfg, flags)
+    return per.select("query_id", "doc_id", "n_matched", "score")

@@ -264,6 +264,77 @@ class TestQualifierGates:
         assert _run(spark, tiny, "fast")
 
 
+class TestPercolate:
+    """query_string_percolate — standing mini-language queries matched
+    against a doc batch (docs carry their own metadata columns)."""
+
+    @pytest.fixture(scope="class")
+    def pdocs(self, spark):
+        rows = [(d, c, lang, stars) for (d, c), (_, lang, _s, stars)
+                in zip(DOCS, META)]
+        return spark.createDataFrame(
+            rows, "doc_id long, content string, lang string, stars long")
+
+    def _perc(self, spark, tiny, pdocs, strings, **kw):
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_percolate,
+        )
+
+        idx, _ = tiny
+        standing = spark.createDataFrame(
+            list(enumerate(strings, 1)), "query_id long, content string")
+        res = query_string_percolate(
+            idx, standing, pdocs,
+            qualifier_fields=("lang", "stars"), **kw).collect()
+        out = {}
+        for r in res:
+            out.setdefault(r.query_id, set()).add(r.doc_id)
+        return out
+
+    def test_gate_families(self, spark, tiny, pdocs):
+        got = self._perc(spark, tiny, pdocs, [
+            "+fast merge",           # must fast → {1,2,4,5,6}
+            '"fast query" -row',     # phrase minus row → {1,4,6}
+            "merge lang:en stars:>100",   # qualifiers → {4}
+            "+zzmissing fast",       # OOV must → nothing
+            '"fast query"~5 scan',   # sloppy phrase (docs 1,4,5,6) ∪-scored
+        ])
+        assert got.get(1) == {1, 2, 4, 5, 6}
+        assert got.get(2) == {1, 4, 6}
+        assert got.get(3) == {4}
+        assert 4 not in got
+        assert got.get(5) == {1, 4, 5, 6}
+
+    def test_and_mode(self, spark, tiny, pdocs):
+        got = self._perc(spark, tiny, pdocs, ["fast merge"],
+                         default_operator="and")
+        assert got.get(1) == {4, 5, 6}
+
+    def test_matches_topk_candidates(self, spark, tiny, pdocs):
+        """For a phrase-free query, percolation's match set must equal the
+        doc set query_string_topk retrieves (k large) on the same corpus
+        — two routes, one semantics."""
+        s = "+fast -row table"
+        got = self._perc(spark, tiny, pdocs, [s])
+        via_topk = set(_run(spark, tiny, s, k=100))
+        assert got.get(1, set()) == via_topk
+
+    def test_raw_token_must_matches_index_oov(self, spark, tiny):
+        """A must term absent from the INDEX snapshot still gates docs
+        that literally contain it (streamed docs can outrun the vocab)."""
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_percolate,
+        )
+
+        idx, _ = tiny
+        newdocs = spark.createDataFrame(
+            [(99, "brandnew fast term")], "doc_id long, content string")
+        standing = spark.createDataFrame(
+            [(1, "+brandnew fast")], "query_id long, content string")
+        res = query_string_percolate(idx, standing, newdocs).collect()
+        assert [(r.query_id, r.doc_id) for r in res] == [(1, 99)]
+
+
 class TestDefaultOperator:
     def _and(self, spark, tiny, s, k=10):
         idx, pos = tiny

@@ -228,6 +228,31 @@ def main(argv=None):
                     help="bare-term semantics: or = optional (Lucene "
                          "default), and = every bare term required")
 
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match a document batch against standing "
+             "queries — plain term queries (streaming.serve.percolate, "
+             "conjunctive) or, with --qstring, the full query-string "
+             "mini-language (operators.querystring.query_string_percolate)")
+    pc.add_argument("--index", required=True, help="frozen-stats index")
+    pc.add_argument("--queries", required=True,
+                    help="standing queries parquet (query_id long, "
+                         "content string)")
+    pc.add_argument("--docs", required=True,
+                    help="document batch parquet (doc_id long, content "
+                         "string, + metadata cols for --qualifier-fields)")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--qstring", action="store_true",
+                    help="standing queries are mini-language strings")
+    pc.add_argument("--qualifier-fields", default="",
+                    help="comma-separated doc metadata columns addressable "
+                         "as field:value qualifiers (qstring mode)")
+    pc.add_argument("--default-operator", default="or",
+                    choices=["or", "and"])
+    pc.add_argument("--match-any", action="store_true",
+                    help="term mode: disjunctive matching instead of the "
+                         "default all-in-vocab-terms gate")
+
     q = sub.add_parser("query", help="batch top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
@@ -431,6 +456,28 @@ def main(argv=None):
             default_operator=args.default_operator)
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote query-string results to {args.output}")
+        return 0
+
+    if args.cmd == "percolate":
+        idx = load_index(spark, args.index)
+        standing = spark.read.parquet(args.queries)
+        docs = spark.read.parquet(args.docs)
+        if args.qstring:
+            from invertedfiles_jl_spark.operators.querystring import (
+                query_string_percolate,
+            )
+
+            qf = tuple(f for f in args.qualifier_fields.split(",") if f)
+            res = query_string_percolate(
+                idx, standing, docs, qualifier_fields=qf,
+                default_operator=args.default_operator)
+        else:
+            from invertedfiles_jl_spark.streaming.serve import percolate
+
+            res = percolate(idx, standing, docs,
+                            require_all=not args.match_any)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote percolation matches to {args.output}")
         return 0
 
     if args.cmd == "delete":

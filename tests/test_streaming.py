@@ -182,3 +182,53 @@ def test_percolate_oov_query_never_fires(documents, spark):
                               "query_id long, content string")
     got = {r["query_id"] for r in percolate(idx, q, corpus).collect()}
     assert got == {2}
+
+
+def test_streaming_qstring_percolation(spark, documents, tmp_path):
+    """Continuous alert routing: a document file-stream percolated against
+    standing query-STRING queries via foreachBatch must produce exactly
+    the batch percolation of the same docs (each doc arrives whole in one
+    micro-batch, so per-batch results just append)."""
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_percolate,
+    )
+
+    base = documents.select(
+        "doc_id", F.col("text").alias("content"), "lang", "source")
+    idx = build_index(base.select("doc_id", "content"),
+                      IndexConfig(weighting="bm25"))
+    standing = spark.createDataFrame(
+        [(1, "+spark window"), (2, 'dup -customer lang:en'),
+         (3, '"fast query"~2 merge')],
+        "query_id long, content string")
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    half1 = base.filter(F.col("doc_id") < 250)
+    half2 = base.filter(F.col("doc_id") >= 250)
+    half1.write.parquet(f"{src}/b1")
+    half2.write.parquet(f"{src}/b2")
+
+    got = []
+
+    def handle(batch_df, _bid):
+        rows = query_string_percolate(
+            idx, standing, batch_df,
+            qualifier_fields=("lang", "source")).collect()
+        got.extend((r.query_id, r.doc_id, round(r.score, 6)) for r in rows)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+    )
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 6))
+        for r in query_string_percolate(
+            idx, standing, base,
+            qualifier_fields=("lang", "source")).collect())
+    assert sorted(got) == want and len(want) > 0

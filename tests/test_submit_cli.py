@@ -256,6 +256,60 @@ def test_cli_qstring_matches_library(spark, index_path, corpus_path,
     assert got == want and len(got) > 0
 
 
+def test_cli_percolate_both_modes(spark, index_path, corpus_path,
+                                  documents, tmp_path):
+    """percolate through the CLI equals the library paths — term mode
+    (conjunctive frozen-stats percolator) and --qstring mode (full
+    mini-language with qualifiers against the docs' own columns)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.querystring import (
+        query_string_percolate,
+    )
+    from invertedfiles_jl_spark.plans.pipeline import load_index
+    from invertedfiles_jl_spark.sources.queries import qstring_df, queries_df
+    from invertedfiles_jl_spark.streaming.serve import percolate
+
+    docs = documents.select(
+        "doc_id", F.col("text").alias("content"), "lang", "source",
+        "n_chars")
+    docs_path = str(tmp_path / "pdocs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    idx = load_index(spark, index_path)
+
+    q_path = str(tmp_path / "pterms")
+    queries_df(spark).write.mode("overwrite").parquet(q_path)
+    out = str(tmp_path / "perc_terms")
+    rc = submit_main.main(["percolate", "--index", index_path,
+                           "--queries", q_path, "--docs", docs_path,
+                           "--output", out])
+    assert rc == 0
+    got = sorted((r.query_id, r.doc_id)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r.query_id, r.doc_id)
+                  for r in percolate(idx, queries_df(spark), docs,
+                                     require_all=True).collect())
+    assert got == want and len(got) > 0
+
+    qs_path = str(tmp_path / "pqstrings")
+    qstring_df(spark).write.mode("overwrite").parquet(qs_path)
+    out2 = str(tmp_path / "perc_qs")
+    rc = submit_main.main(["percolate", "--index", index_path,
+                           "--queries", qs_path, "--docs", docs_path,
+                           "--qstring",
+                           "--qualifier-fields", "lang,source,n_chars",
+                           "--output", out2])
+    assert rc == 0
+    got2 = sorted((r.query_id, r.doc_id)
+                  for r in spark.read.parquet(out2).collect())
+    want2 = sorted(
+        (r.query_id, r.doc_id)
+        for r in query_string_percolate(
+            idx, qstring_df(spark), docs,
+            qualifier_fields=("lang", "source", "n_chars")).collect())
+    assert got2 == want2 and len(got2) > 0
+
+
 def test_cli_proximity_and_snippet_modes(spark, corpus_path, tmp_path):
     """--mode proximity/snippet through the CLI equals the library paths."""
     from invertedfiles_jl_spark.operators.positional import (

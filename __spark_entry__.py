@@ -351,14 +351,16 @@ def _qstring_parsed():
     return [(qid, parse_query_string_py(s)) for qid, s in QSTRING_SET]
 
 
-def _qstring_gate_sql(parsed, alias: str) -> dict:
+def _qstring_gate_sql(parsed, alias: str, wild_hit_src: str = "tf") -> dict:
     """Shared gate-SQL generation for the query-string oracles: phrase
     branches over ``tsx`` (exact = _phrase_bm25_sql's start-survival
     predicate, sloppy = proximity_topk_sql's ordered m-way join with min
-    span ≤ m-1+N), per-query phrase counts, and the qualifier CTEs/joins
+    span ≤ m-1+N), per-query phrase counts, the qualifier CTEs/joins
     (equality + the numeric >/>=/</<=/lo..hi forms of _qual_sat) over
-    (lang, source, n_chars).  ``alias`` is the candidate relation the
-    gate joins attach to."""
+    (lang, source, n_chars), and the wildcard parts (vocab-bounded
+    ``starts_with`` expansion: scoring/must_not unions plus the
+    required-group coverage gate over ``wild_hit_src``).  ``alias`` is
+    the candidate relation the gate joins attach to."""
     branches, nph_rows, pos_ctes = [], [], []
     for qid, p in parsed:
         nph_rows.append(
@@ -453,6 +455,53 @@ qsat AS (
             "    AND COALESCE(qq.n_neg_sat, 0) = 0\n")
     else:
         out["qual_cte_sql"] = out["qual_joins"] = out["qual_pred"] = ""
+    # wildcards: vocab-bounded prefix expansion (OR-mode semantics — the
+    # driver rows use the default operator)
+    score_exp, not_exp, req_branches, nreq_rows = [], [], [], []
+    for qid, p in parsed:
+        n_req = sum(1 for s in p["wild_signs"] if s == "+")
+        if p["wild_signs"]:
+            nreq_rows.append(
+                f"(CAST({qid} AS BIGINT), CAST({n_req} AS BIGINT))")
+        for widx, (s, pre) in enumerate(zip(p["wild_signs"],
+                                            p["wild_prefixes"])):
+            sel = (f"  SELECT CAST({qid} AS BIGINT) AS query_id, term "
+                   f"FROM vocab WHERE starts_with(term, '{pre}')")
+            (not_exp if s == "-" else score_exp).append(sel)
+            if s == "+":
+                req_branches.append(
+                    f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
+                    f"{widx} AS widx, t.doc_id\n"
+                    f"  FROM {wild_hit_src} t "
+                    f"JOIN vocab v ON t.term = v.term\n"
+                    f"  WHERE starts_with(v.term, '{pre}')\n"
+                    f"  GROUP BY t.doc_id"
+                )
+    out["wild_score_union"] = (
+        "\n  UNION ALL\n" + "\n  UNION ALL\n".join(score_exp)
+        if score_exp else "")
+    out["wild_not_union"] = (
+        "\n  UNION ALL\n" + "\n  UNION ALL\n".join(not_exp)
+        if not_exp else "")
+    if req_branches:
+        out["wild_cte_sql"] = f"""wghit AS (
+  SELECT query_id, doc_id,
+         CAST(count(DISTINCT widx) AS BIGINT) AS n_wild_hit
+  FROM (
+{"{}".format(chr(10) + "  UNION ALL" + chr(10)).join(req_branches)}
+  ) GROUP BY query_id, doc_id
+),
+nreqw(query_id, n_req) AS (VALUES {", ".join(nreq_rows)}),
+"""
+        out["wild_joins"] = (
+            f"  LEFT JOIN nreqw ON nreqw.query_id = {alias}.query_id\n"
+            f"  LEFT JOIN wghit wg ON wg.query_id = {alias}.query_id "
+            f"AND wg.doc_id = {alias}.doc_id\n")
+        out["wild_pred"] = (
+            "    AND COALESCE(nreqw.n_req, 0) = "
+            "COALESCE(wg.n_wild_hit, 0)\n")
+    else:
+        out["wild_cte_sql"] = out["wild_joins"] = out["wild_pred"] = ""
     return out
 
 
@@ -478,7 +527,7 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
             (p["should"] + " " + " ".join(p["phrases"])).strip(),
             p["must_not"])
         for qid, p in parsed)
-    g = _qstring_gate_sql(parsed, alias="s")
+    g = _qstring_gate_sql(parsed, alias="s", wild_hit_src="tf")
     gate, pos_cte_sql = g["gate"], g["pos_cte_sql"]
     nph_rows = g["nph_rows"]
     qual_cte_sql, qual_joins, qual_pred = (
@@ -493,7 +542,7 @@ tsx AS (
   SELECT doc_id, {_TOK.format(col='text')} AS ts FROM documents
 ),
 {pos_cte_sql}sq AS (
-  SELECT query_id, unnest({stok}) AS term FROM bq
+  SELECT query_id, unnest({stok}) AS term FROM bq{g["wild_score_union"]}
 ),
 sqt AS (
   SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
@@ -526,7 +575,9 @@ musthit AS (
   JOIN tf ON tf.term = m.term
   GROUP BY m.query_id, tf.doc_id
 ),
-ntokens AS (SELECT query_id, unnest({ntok}) AS term FROM bq),
+ntokens AS (
+  SELECT query_id, unnest({ntok}) AS term FROM bq{g["wild_not_union"]}
+),
 excluded AS (
   SELECT DISTINCT n.query_id, tf.doc_id
   FROM (SELECT DISTINCT query_id, term FROM ntokens) n
@@ -540,16 +591,16 @@ phhit AS (
   ) GROUP BY query_id, doc_id
 ),
 nph(query_id, n_ph) AS (VALUES {", ".join(nph_rows)}),
-{qual_cte_sql}gated AS (
+{qual_cte_sql}{g["wild_cte_sql"]}gated AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scored s
   LEFT JOIN nmust USING (query_id)
   LEFT JOIN musthit mh ON mh.query_id = s.query_id AND mh.doc_id = s.doc_id
   LEFT JOIN nph ON nph.query_id = s.query_id
   LEFT JOIN phhit ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id
-{qual_joins}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
+{qual_joins}{g["wild_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
     AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
-{qual_pred}    AND NOT EXISTS (SELECT 1 FROM excluded x
+{qual_pred}{g["wild_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
                     WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
 ),
 ranked AS (
@@ -584,7 +635,7 @@ def _qstring_percolate_sql(k1: float = 1.2, b: float = 0.75) -> str:
         f"(CAST({qid} AS BIGINT), '{p['must']}')" for qid, p in parsed)
     nrows = ", ".join(
         f"(CAST({qid} AS BIGINT), '{p['must_not']}')" for qid, p in parsed)
-    g = _qstring_gate_sql(parsed, alias="per")
+    g = _qstring_gate_sql(parsed, alias="per", wild_hit_src="dtt")
     tok = _TOK.format(col="content")
     return f"""
 WITH {_BASE_CTES},
@@ -594,7 +645,7 @@ tsx AS (
 {g["pos_cte_sql"]}sq(query_id, content) AS (VALUES {srows}),
 sqt AS (
   SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
-  FROM (SELECT query_id, unnest({tok}) AS term FROM sq)
+  FROM (SELECT query_id, unnest({tok}) AS term FROM sq{g["wild_score_union"]})
   GROUP BY query_id, term
 ),
 qterm AS (
@@ -629,7 +680,11 @@ musthit AS (
   GROUP BY m.query_id, dtt.doc_id
 ),
 nq(query_id, content) AS (VALUES {nrows}),
-ntok AS (SELECT DISTINCT query_id, unnest({tok}) AS term FROM nq),
+ntok AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest({tok}) AS term FROM nq{g["wild_not_union"]}
+  )
+),
 excluded AS (
   SELECT DISTINCT n.query_id, dtt.doc_id
   FROM ntok n JOIN dtt ON dtt.term = n.term
@@ -642,7 +697,7 @@ phhit AS (
   ) GROUP BY query_id, doc_id
 ),
 nph(query_id, n_ph) AS (VALUES {", ".join(g["nph_rows"])}),
-{g["qual_cte_sql"]}gated AS (
+{g["qual_cte_sql"]}{g["wild_cte_sql"]}gated AS (
   SELECT per.query_id, per.doc_id, per.n_matched, per.score
   FROM per
   LEFT JOIN nmust ON nmust.query_id = per.query_id
@@ -651,9 +706,9 @@ nph(query_id, n_ph) AS (VALUES {", ".join(g["nph_rows"])}),
   LEFT JOIN nph ON nph.query_id = per.query_id
   LEFT JOIN phhit ph ON ph.query_id = per.query_id
                     AND ph.doc_id = per.doc_id
-{g["qual_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_must_hit, 0)
+{g["qual_joins"]}{g["wild_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_must_hit, 0)
     AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
-{g["qual_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
+{g["qual_pred"]}{g["wild_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
                     WHERE x.query_id = per.query_id
                       AND x.doc_id = per.doc_id)
 )
@@ -1542,9 +1597,10 @@ def _q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates + BM25 + per-phrase exact-adjacency gates over the positional
     index.  Fixture mixes must/not/phrase/bare clauses, an OOV phrase, an
     OOV must, a parser-edge string, ``~N`` sloppy phrases (ordered
-    proximity gates) and ``field:value`` metadata qualifiers over
-    (lang, source) incl. negation and an unknown field
-    (sources/queries QSTRING_SET)."""
+    proximity gates), ``field:value`` metadata qualifiers over
+    (lang, source, n_chars) incl. negation, an unknown field and numeric
+    forms, and ``prefix*`` wildcards (bare / required / negated /
+    OOV-required) — sources/queries QSTRING_SET."""
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.operators.positional import (

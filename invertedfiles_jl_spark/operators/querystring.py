@@ -13,9 +13,13 @@ departure from Lucene's transposition-cost slop), bare terms ⇒ should,
 ``lang:py``, ``-source:vendored``, numeric forms ``stars:>100``
 ``stars:>=100`` ``stars:<100`` ``stars:<=100`` ``stars:50..200`` — a
 conjunctive filter over a doc metadata relation, never a scoring clause;
-unknown field ⇒ matches nothing).  Ranking is BM25 over the must + should + phrase terms a doc
-matches (phrases score like their words — Lucene's default — while ALSO
-gating on adjacency/proximity).
+unknown field ⇒ matches nothing), ``prefix*`` ⇒ trailing-star wildcard
+(Lucene ``PrefixQuery``: vocab-bounded expansion; bare = expansions score
+as extra should terms, ``+prefix*`` additionally requires ≥ 1 expansion
+match per wildcard, ``-prefix*`` excludes any match).  Ranking is BM25
+over the must + should + phrase + wildcard-expansion terms a doc matches
+(phrases score like their words — Lucene's default — while ALSO gating
+on adjacency/proximity).
 
 Parsing is PURE COLUMN WORK (three ``regexp_extract_all`` / two
 ``regexp_replace`` passes) so a standing-query relation of any size parses
@@ -68,6 +72,11 @@ _SLOP_RE = r'"[^"]*"(?:~(\d+))?'
 # stripping, so colons inside quotes are literal text).  Groups: 2 = sign
 # ('' / '+' / '-'), 3 = field, 4 = value.
 _QUAL_RE = r"(^|\s)([+-]?)([A-Za-z_][A-Za-z0-9_]*):(\S+)"
+# trailing-star wildcard (Lucene PrefixQuery): [+|-]prefix* as a whole
+# token, recognized after phrase AND qualifier stripping (a '*' inside a
+# quoted phrase or a qualifier value is literal text).  Groups: 2 = sign,
+# 3 = prefix.
+_WILD_RE = r"(^|\s)([+-]?)([A-Za-z0-9_]+)\*(?=\s|$)"
 _MUST_RE = r"(^|\s)\+(\S+)"
 _MUST_NOT_RE = r"(^|\s)-(\S+)"
 _BARE_STRIP_RE = r"(^|\s)[+-]\S+"
@@ -86,19 +95,23 @@ def parse_query_strings(queries: DataFrame,
     slops = F.expr(
         f"transform(regexp_extract_all({content_col}, r'{_SLOP_RE}', 1), "
         f"s -> CASE WHEN s = '' THEN 0 ELSE CAST(s AS INT) END)")
-    # stage 1: phrases out; stage 2: qualifiers out; clause regexes see
-    # only what remains
+    # stage 1: phrases out; stage 2: qualifiers out; stage 3: wildcards
+    # out; clause regexes see only what remains
     nophrase = f"regexp_replace({content_col}, r'{_PHRASE_FULL_RE}', ' ')"
     noqual = f"regexp_replace({nophrase}, r'{_QUAL_RE}', ' ')"
+    nowild = f"regexp_replace({noqual}, r'{_WILD_RE}', ' ')"
 
     def quals(idx: int):
         return F.expr(f"regexp_extract_all({nophrase}, r'{_QUAL_RE}', {idx})")
 
+    def wilds(idx: int):
+        return F.expr(f"regexp_extract_all({noqual}, r'{_WILD_RE}', {idx})")
+
     must = F.array_join(
-        F.expr(f"regexp_extract_all({noqual}, r'{_MUST_RE}', 2)"), " ")
+        F.expr(f"regexp_extract_all({nowild}, r'{_MUST_RE}', 2)"), " ")
     must_not = F.array_join(
-        F.expr(f"regexp_extract_all({noqual}, r'{_MUST_NOT_RE}', 2)"), " ")
-    bare = F.regexp_replace(F.expr(noqual), _BARE_STRIP_RE, " ")
+        F.expr(f"regexp_extract_all({nowild}, r'{_MUST_NOT_RE}', 2)"), " ")
+    bare = F.regexp_replace(F.expr(nowild), _BARE_STRIP_RE, " ")
     return queries.select(
         "query_id",
         must.alias("must"),
@@ -109,6 +122,9 @@ def parse_query_strings(queries: DataFrame,
         quals(2).alias("qual_signs"),
         quals(3).alias("qual_fields"),
         quals(4).alias("qual_values"),
+        wilds(2).alias("wild_signs"),
+        F.expr(f"transform(regexp_extract_all({noqual}, r'{_WILD_RE}', 3), "
+               f"p -> lower(p))").alias("wild_prefixes"),
     )
 
 
@@ -120,9 +136,11 @@ def parse_query_string_py(s: str) -> dict:
     nophrase = re.sub(_PHRASE_FULL_RE, " ", s)
     qual_matches = re.findall(_QUAL_RE, nophrase)
     noqual = re.sub(_QUAL_RE, " ", nophrase)
-    must = [m[1] for m in re.findall(_MUST_RE, noqual)]
-    must_not = [m[1] for m in re.findall(_MUST_NOT_RE, noqual)]
-    bare = re.sub(_BARE_STRIP_RE, " ", noqual)
+    wild_matches = re.findall(_WILD_RE, noqual)
+    nowild = re.sub(_WILD_RE, " ", noqual)
+    must = [m[1] for m in re.findall(_MUST_RE, nowild)]
+    must_not = [m[1] for m in re.findall(_MUST_NOT_RE, nowild)]
+    bare = re.sub(_BARE_STRIP_RE, " ", nowild)
     return {
         "must": " ".join(must),
         "should": bare,
@@ -132,6 +150,8 @@ def parse_query_string_py(s: str) -> dict:
         "qual_signs": [m[1] for m in qual_matches],
         "qual_fields": [m[2] for m in qual_matches],
         "qual_values": [m[3] for m in qual_matches],
+        "wild_signs": [m[1] for m in wild_matches],
+        "wild_prefixes": [m[2].lower() for m in wild_matches],
     }
 
 
@@ -198,11 +218,40 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     ``default_operator``: ``"or"`` (Lucene's default — bare terms are
     optional should clauses) or ``"and"`` (every bare term required, the
     Elasticsearch ``default_operator: AND`` setting)."""
+    from invertedfiles_jl_spark.operators.search import (
+        _distinct_term_matches,
+    )
+
     assert default_operator in ("or", "and"), default_operator
     cfg = cfg or index.cfg
     parsed = parse_query_strings(queries, content_col)
-    scored = _boolean_scored(index, _fold_clauses(parsed, default_operator))
     flags = _clause_flags(parsed)
+    folded = _fold_clauses(parsed, default_operator)
+    req = None
+    if flags["n_wild"]:
+        ws, wn, n_req, req_terms = _wildcard_parts(index, parsed,
+                                                   default_operator)
+        folded = _fold_wildcards(folded, ws, wn)
+        n_required = flags["n_wild_plus"] + (
+            flags["n_wild_bare"] if default_operator == "and" else 0)
+        if n_required:
+            req = (n_req, req_terms)
+    scored = _boolean_scored(index, folded)
+    if req is not None:
+        n_req, req_terms = req
+        gh = _distinct_term_matches(
+            index,
+            req_terms.select(
+                (F.col("query_id") * MAX_PHRASES + F.col("widx"))
+                .alias("query_id"), "term_id").distinct())
+        group_hits = (
+            gh.select(
+                F.floor(F.col("query_id") / MAX_PHRASES).alias("query_id"),
+                F.col("query_id").alias("wg_id"), "doc_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("wg_id").cast("long").alias("n_wild_hit"))
+        )
+        scored = _required_wildcard_filter(scored, n_req, group_hits)
     if flags["n_quals"]:
         if meta is None:
             raise ValueError(
@@ -240,14 +289,104 @@ def _clause_flags(parsed: DataFrame):
     """ONE tiny-relation driver action deciding which gate families a
     batch needs (the query batch is driver-sized by contract, same as
     the proximity DP's own max(m) action).  A batch without phrases /
-    qualifiers keeps its physical plan free of the corresponding
-    subtree — no positional scan, no meta join — instead of dragging
-    empty-but-planned gate joins through every execution."""
+    qualifiers / wildcards keeps its physical plan free of the
+    corresponding subtree — no positional scan, no meta join, no vocab
+    expansion — instead of dragging empty-but-planned gate joins through
+    every execution."""
     return parsed.agg(
         F.sum(F.size("phrases")).alias("n_ph"),
         F.sum(F.expr("size(filter(slops, s -> s > 0))")).alias("n_sloppy"),
         F.sum(F.size("qual_fields")).alias("n_quals"),
+        F.sum(F.size("wild_prefixes")).alias("n_wild"),
+        F.sum(F.expr(
+            "size(filter(wild_signs, s -> s = '+'))")).alias("n_wild_plus"),
+        F.sum(F.expr(
+            "size(filter(wild_signs, s -> s = ''))")).alias("n_wild_bare"),
     ).first()
+
+
+def _wildcard_parts(index: InvertedIndex, parsed: DataFrame,
+                    default_operator: str):
+    """Expand ``prefix*`` wildcards against the index vocabulary (ONE
+    broadcast theta join per batch — :func:`search.expand_prefixes`'
+    shape) and split by sign:
+
+    Returns ``(wild_should, wild_not, n_req, req_terms)``:
+    * ``wild_should`` — (query_id, wild_should): space-joined sorted
+      expansion terms of the non-negated wildcards, appended to the
+      should field so expansions SCORE like ordinary words (one qtf
+      each);
+    * ``wild_not`` — (query_id, wild_not): expansion terms of negated
+      wildcards, appended to must_not (any match excludes — exact Lucene
+      semantics for ``-pre*``);
+    * ``n_req`` — (query_id, n_req_wilds) counted from the PARSE, so an
+      OOV required prefix (zero expansions) makes its query unsatisfiable
+      (conjunctive empty-Q contract);
+    * ``req_terms`` — (query_id, widx, term, term_id) of the REQUIRED
+      wildcards (``+pre*``; in AND mode bare wildcards too): the caller
+      gates candidates on ≥ 1 match per (query, wildcard) group.
+
+    Expansion is vocab-snapshot-bounded in both search and percolation —
+    a prefix only ever means "the index's known terms starting with it".
+    """
+    wq = parsed.select(
+        "query_id",
+        F.posexplode(F.arrays_zip(
+            F.col("wild_signs").alias("sign"),
+            F.col("wild_prefixes").alias("prefix"))).alias("widx", "w"),
+    ).select("query_id", "widx", "w.sign", "w.prefix")
+    if default_operator == "and":
+        wq = wq.withColumn(
+            "sign", F.when(F.col("sign") == "", "+").otherwise(F.col("sign")))
+    exp = index.vocab.select("term", "term_id").join(
+        F.broadcast(wq), F.col("term").startswith(F.col("prefix")))
+    wild_should = (
+        exp.filter(F.col("sign") != "-").groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("term")))
+             .alias("wild_should"))
+    )
+    wild_not = (
+        exp.filter(F.col("sign") == "-").groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("term")))
+             .alias("wild_not"))
+    )
+    n_req = wq.filter(F.col("sign") == "+").groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_req_wilds"))
+    req_terms = exp.filter(F.col("sign") == "+").select(
+        "query_id", "widx", "term", "term_id")
+    return wild_should, wild_not, n_req, req_terms
+
+
+def _fold_wildcards(folded: DataFrame, wild_should: DataFrame,
+                    wild_not: DataFrame) -> DataFrame:
+    """Append the expansion strings to the clause relation (concat_ws
+    skips the NULLs of queries without wildcards).  Both expansion
+    relations aggregate to ≤ one row per query — broadcast, so the tiny
+    clause relation never shuffles."""
+    return (
+        folded.join(F.broadcast(wild_should), "query_id", "left")
+        .join(F.broadcast(wild_not), "query_id", "left")
+        .select(
+            "query_id", "must",
+            F.concat_ws(" ", "should", "wild_should").alias("should"),
+            F.concat_ws(" ", "must_not", "wild_not").alias("must_not"),
+        )
+    )
+
+
+def _required_wildcard_filter(cand: DataFrame, n_req: DataFrame,
+                              group_hits: DataFrame) -> DataFrame:
+    """Gate candidates on required-wildcard group coverage:
+    ``group_hits`` = (query_id, doc_id, n_wild_hit) distinct satisfied
+    groups; every parsed ``+pre*`` group must be hit."""
+    zero = F.lit(0).cast("long")
+    return (
+        cand.join(F.broadcast(n_req), "query_id", "left")
+        .join(group_hits, ["query_id", "doc_id"], "left")
+        .filter(F.coalesce("n_req_wilds", zero) ==
+                F.coalesce("n_wild_hit", zero))
+        .drop("n_req_wilds", "n_wild_hit")
+    )
 
 
 def _qualifier_filter(cand: DataFrame, parsed: DataFrame, meta: DataFrame,
@@ -390,6 +529,15 @@ def query_string_percolate(index: InvertedIndex, standing: DataFrame,
     parsed = parse_query_strings(standing, "content")
     folded = _fold_clauses(parsed, default_operator)
     flags = _clause_flags(parsed)
+    req = None
+    if flags["n_wild"]:
+        ws, wn, n_req, req_terms = _wildcard_parts(index, parsed,
+                                                   default_operator)
+        folded = _fold_wildcards(folded, ws, wn)
+        n_required = flags["n_wild_plus"] + (
+            flags["n_wild_bare"] if default_operator == "and" else 0)
+        if n_required:
+            req = (n_req, req_terms)
 
     sq = folded.select(
         "query_id",
@@ -426,6 +574,16 @@ def query_string_percolate(index: InvertedIndex, standing: DataFrame,
     excluded = dt.join(F.broadcast(nt), "term").select(
         "doc_id", "query_id").distinct()
     per = per.join(excluded, ["doc_id", "query_id"], "left_anti")
+
+    if req is not None:
+        n_req, req_terms = req
+        wt = req_terms.select("query_id", "widx", "term").distinct()
+        group_hits = (
+            dt.join(F.broadcast(wt), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.countDistinct("widx").cast("long").alias("n_wild_hit"))
+        )
+        per = _required_wildcard_filter(per, n_req, group_hits)
 
     if flags["n_quals"]:
         per = _qualifier_filter(

@@ -214,10 +214,11 @@ def boolean_values_sql() -> str:
 # must_not / phrase / bare clauses, an OOV phrase (7), an OOV must (8), a
 # parser-edge query (9: interior '+' is literal, clause markers bind only
 # at token starts), sloppy phrases (10, 11), an explicit ~0 ≡ exact (12),
-# and metadata qualifiers (13-17: positive / negated / with-phrase /
-# unknown-field / conjunctive multi-field).  NOTE: double quotes only —
-# these strings are inlined into single-quoted SQL literals by the oracle
-# generator.
+# metadata qualifiers (13-17: positive / negated / with-phrase /
+# unknown-field / conjunctive multi-field), numeric qualifier forms
+# (18-19) and trailing-star wildcards (20-23: bare / required / negated /
+# OOV-required).  NOTE: double quotes only — these strings are inlined
+# into single-quoted SQL literals by the oracle generator.
 QSTRING_SET: list[tuple[int, str]] = [
     (1, '+spark window'),
     (2, 'dup -customer'),
@@ -238,6 +239,10 @@ QSTRING_SET: list[tuple[int, str]] = [
     (17, '+table scan lang:fr source:src1'),
     (18, 'spark n_chars:>450'),
     (19, 'merge lang:en n_chars:100..300'),
+    (20, 'window sp*'),
+    (21, '+sc* merge'),
+    (22, 'merge -sp*'),
+    (23, '+zz* fast'),
 ]
 
 

@@ -264,6 +264,68 @@ class TestQualifierGates:
         assert _run(spark, tiny, "fast")
 
 
+class TestWildcards:
+    """Trailing-star wildcards: vocab-bounded prefix expansion.  Tiny
+    corpus vocabulary relevant here: fast, query, engine, runs, a, scan,
+    merge, table, row, slow, sort."""
+
+    def test_parser_splits_wildcards(self):
+        p = parse_query_string_py('sc* +Me* -ta* "lit*eral" path:x* plain')
+        assert list(zip(p["wild_signs"], p["wild_prefixes"])) == [
+            ("", "sc"), ("+", "me"), ("-", "ta")]
+        assert p["phrases"] == ["lit*eral"]     # '*' in quotes is literal
+        assert p["qual_values"] == ["x*"]       # qualifier value keeps '*'
+        assert p["should"].split() == ["plain"]
+
+    def test_bare_wildcard_scores_expansions(self, spark, tiny):
+        # 's*' expands to {scan, slow}: scores docs containing either,
+        # gates nothing
+        docs = _run(spark, tiny, "s*")
+        assert set(docs) == {1, 3}
+
+    def test_required_wildcard_gates(self, spark, tiny):
+        # '+s*' requires ≥1 of {scan, slow, sort}: drops doc 2... and all
+        # fast-docs lacking s-terms
+        docs = _run(spark, tiny, "+ta* fast")
+        # 'ta*' → {table}: docs with table AND (scoring fast/table)
+        assert set(docs) == {3, 4, 5}
+
+    def test_negated_wildcard_excludes(self, spark, tiny):
+        docs = _run(spark, tiny, "fast -ta*")
+        assert set(docs) == {1, 2, 6}  # table docs 4, 5 excluded
+
+    def test_oov_required_wildcard_empty(self, spark, tiny):
+        assert _run(spark, tiny, "+zz* fast") == []
+
+    def test_oov_bare_wildcard_harmless(self, spark, tiny):
+        assert set(_run(spark, tiny, "fast zz*")) == \
+            set(_run(spark, tiny, "fast"))
+
+    def test_and_mode_requires_bare_wildcard(self, spark, tiny):
+        idx, pos = tiny
+        q = spark.createDataFrame([(1, "fast ta*")],
+                                  "query_id long, content string")
+        docs = [r.doc_id for r in query_string_topk(
+            idx, pos, q, k=10, rank_round=6,
+            default_operator="and").collect()]
+        assert set(docs) == {4, 5}  # fast AND any ta*-term
+
+    def test_percolate_wildcards_match_topk(self, spark, tiny):
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_percolate,
+        )
+
+        idx, pos = tiny
+        corpus = spark.createDataFrame(DOCS,
+                                       "doc_id long, content string")
+        s = "+ta* fast -row"
+        standing = spark.createDataFrame(
+            [(1, s)], "query_id long, content string")
+        perc = {r.doc_id for r in query_string_percolate(
+            idx, standing, corpus).collect()}
+        assert perc == set(_run(spark, tiny, s, k=100))
+
+
 class TestPercolate:
     """query_string_percolate — standing mini-language queries matched
     against a doc batch (docs carry their own metadata columns)."""

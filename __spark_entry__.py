@@ -351,6 +351,13 @@ def _qstring_parsed():
     return [(qid, parse_query_string_py(s)) for qid, s in QSTRING_SET]
 
 
+def _pos_phrases(p) -> list:
+    """The POSITIVE phrases of a parsed query — only these score
+    (negated phrases are pure exclusion)."""
+    return [ph for ph, sg in zip(p["phrases"], p["phrase_signs"])
+            if sg != "-"]
+
+
 def _qstring_gate_sql(parsed, alias: str, wild_hit_src: str = "tf") -> dict:
     """Shared gate-SQL generation for the query-string oracles: phrase
     branches over ``tsx`` (exact = _phrase_bm25_sql's start-survival
@@ -361,17 +368,20 @@ def _qstring_gate_sql(parsed, alias: str, wild_hit_src: str = "tf") -> dict:
     ``starts_with`` expansion: scoring/must_not unions plus the
     required-group coverage gate over ``wild_hit_src``).  ``alias`` is
     the candidate relation the gate joins attach to."""
-    branches, nph_rows, pos_ctes = [], [], []
+    branches, neg_branches, nph_rows, pos_ctes = [], [], [], []
     for qid, p in parsed:
+        n_pos_ph = sum(1 for s in p["phrase_signs"] if s != "-")
         nph_rows.append(
-            f"(CAST({qid} AS BIGINT), CAST({len(p['phrases'])} AS BIGINT))")
-        for pidx, (text, slop) in enumerate(zip(p["phrases"], p["slops"])):
+            f"(CAST({qid} AS BIGINT), CAST({n_pos_ph} AS BIGINT))")
+        for pidx, (text, slop, sign) in enumerate(
+                zip(p["phrases"], p["slops"], p["phrase_signs"])):
+            dest = neg_branches if sign == "-" else branches
             ws = text.lower().split()
             m = len(ws)
             if slop == 0:
                 conds = " AND ".join(
                     f"ts[i+{j}] = '{w}'" for j, w in enumerate(ws))
-                branches.append(
+                dest.append(
                     f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
                     f"{pidx} AS pidx, doc_id FROM tsx\n"
                     f"  WHERE len(list_filter(range(1, len(ts) - {m} + 2), "
@@ -386,7 +396,7 @@ def _qstring_gate_sql(parsed, alias: str, wild_hit_src: str = "tf") -> dict:
                     f"unnest(list_filter(range(1, len(ts) + 1), "
                     f"i -> ts[i] = '{wd}')) AS p FROM tsx)")
             if m == 1:
-                branches.append(
+                dest.append(
                     f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
                     f"{pidx} AS pidx, doc_id FROM qe_{qid}_{pidx}_0 "
                     f"GROUP BY doc_id")
@@ -395,18 +405,32 @@ def _qstring_gate_sql(parsed, alias: str, wild_hit_src: str = "tf") -> dict:
                 f"\n  JOIN qe_{qid}_{pidx}_{j} e{j} "
                 f"ON e{j}.doc_id = e0.doc_id AND e{j}.p > e{j - 1}.p"
                 for j in range(1, m))
-            branches.append(
+            dest.append(
                 f"  SELECT CAST({qid} AS BIGINT) AS query_id, "
                 f"{pidx} AS pidx, e0.doc_id AS doc_id\n"
                 f"  FROM qe_{qid}_{pidx}_0 e0{joins}\n"
                 f"  GROUP BY e0.doc_id\n"
                 f"  HAVING min(e{m - 1}.p - e0.p) <= {m - 1 + slop}"
             )
+    empty_branch = ("  SELECT CAST(NULL AS BIGINT) AS query_id, 0 AS pidx, "
+                    "CAST(NULL AS BIGINT) AS doc_id WHERE FALSE")
     out = {
-        "gate": "\n  UNION ALL\n".join(branches),
+        "gate": "\n  UNION ALL\n".join(branches) or empty_branch,
         "pos_cte_sql": "".join(c + ",\n" for c in pos_ctes),
         "nph_rows": nph_rows,
     }
+    # negated phrases ('-"..."'): any hit excludes the (query, doc) pair
+    if neg_branches:
+        neg_union = "\n  UNION ALL\n".join(neg_branches)
+        out["neg_ph_cte_sql"] = (
+            "phneg AS (\n  SELECT DISTINCT query_id, doc_id FROM (\n"
+            + neg_union + "\n  )\n),\n")
+        out["neg_ph_pred"] = (
+            "    AND NOT EXISTS (SELECT 1 FROM phneg pn "
+            "WHERE pn.query_id = {a}.query_id "
+            "AND pn.doc_id = {a}.doc_id)\n".format(a=alias))
+    else:
+        out["neg_ph_cte_sql"] = out["neg_ph_pred"] = ""
     # metadata qualifiers: conjunctive filters — the same coalesce-counting
     # gate shape as phrases, CROSS JOIN quals × documents at fixture scale
     # (production gates candidates only)
@@ -524,7 +548,7 @@ def _query_string_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     rows = ", ".join(
         "(CAST({} AS BIGINT), '{}', '{}', '{}')".format(
             qid, p["must"],
-            (p["should"] + " " + " ".join(p["phrases"])).strip(),
+            (p["should"] + " " + " ".join(_pos_phrases(p))).strip(),
             p["must_not"])
         for qid, p in parsed)
     g = _qstring_gate_sql(parsed, alias="s", wild_hit_src="tf")
@@ -591,7 +615,7 @@ phhit AS (
   ) GROUP BY query_id, doc_id
 ),
 nph(query_id, n_ph) AS (VALUES {", ".join(nph_rows)}),
-{qual_cte_sql}{g["wild_cte_sql"]}gated AS (
+{qual_cte_sql}{g["wild_cte_sql"]}{g["neg_ph_cte_sql"]}gated AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scored s
   LEFT JOIN nmust USING (query_id)
@@ -600,7 +624,7 @@ nph(query_id, n_ph) AS (VALUES {", ".join(nph_rows)}),
   LEFT JOIN phhit ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id
 {qual_joins}{g["wild_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_hit, 0)
     AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
-{qual_pred}{g["wild_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
+{qual_pred}{g["wild_pred"]}{g["neg_ph_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
                     WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)
 ),
 ranked AS (
@@ -629,7 +653,7 @@ def _qstring_percolate_sql(k1: float = 1.2, b: float = 0.75) -> str:
     srows = ", ".join(
         "(CAST({} AS BIGINT), '{}')".format(
             qid, (p["must"] + " " + p["should"] + " "
-                  + " ".join(p["phrases"])).strip())
+                  + " ".join(_pos_phrases(p))).strip())
         for qid, p in parsed)
     mrows = ", ".join(
         f"(CAST({qid} AS BIGINT), '{p['must']}')" for qid, p in parsed)
@@ -653,7 +677,7 @@ qterm AS (
          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
   FROM sqt JOIN vocab ON sqt.term = vocab.term CROSS JOIN stats
 ),
-per AS (
+pscore AS (
   SELECT tf.doc_id, qterm.query_id,
          CAST(count(*) AS BIGINT) AS n_matched,
          sum(qtf * idf * (tf * ({k1} + 1.0)
@@ -665,6 +689,22 @@ per AS (
   GROUP BY tf.doc_id, qterm.query_id
 ),
 dtt AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tsx),
+sctok AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest({tok}) AS term FROM sq{g["wild_score_union"]}
+  )
+),
+pcand AS (
+  SELECT DISTINCT s.query_id, dtt.doc_id
+  FROM sctok s JOIN dtt ON dtt.term = s.term
+),
+per AS (
+  SELECT pcand.query_id, pcand.doc_id,
+         COALESCE(pscore.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+         COALESCE(pscore.score, 0.0) AS score
+  FROM pcand LEFT JOIN pscore ON pscore.query_id = pcand.query_id
+                             AND pscore.doc_id = pcand.doc_id
+),
 mq(query_id, content) AS (VALUES {mrows}),
 mtok AS (
   SELECT DISTINCT query_id, unnest({tok}) AS term FROM mq
@@ -697,7 +737,7 @@ phhit AS (
   ) GROUP BY query_id, doc_id
 ),
 nph(query_id, n_ph) AS (VALUES {", ".join(g["nph_rows"])}),
-{g["qual_cte_sql"]}{g["wild_cte_sql"]}gated AS (
+{g["qual_cte_sql"]}{g["wild_cte_sql"]}{g["neg_ph_cte_sql"]}gated AS (
   SELECT per.query_id, per.doc_id, per.n_matched, per.score
   FROM per
   LEFT JOIN nmust ON nmust.query_id = per.query_id
@@ -708,7 +748,7 @@ nph(query_id, n_ph) AS (VALUES {", ".join(g["nph_rows"])}),
                     AND ph.doc_id = per.doc_id
 {g["qual_joins"]}{g["wild_joins"]}  WHERE COALESCE(nmust.n_must, 0) = COALESCE(mh.n_must_hit, 0)
     AND COALESCE(nph.n_ph, 0) = COALESCE(ph.n_ph_hit, 0)
-{g["qual_pred"]}{g["wild_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
+{g["qual_pred"]}{g["wild_pred"]}{g["neg_ph_pred"]}    AND NOT EXISTS (SELECT 1 FROM excluded x
                     WHERE x.query_id = per.query_id
                       AND x.doc_id = per.doc_id)
 )

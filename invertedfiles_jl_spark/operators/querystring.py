@@ -6,7 +6,9 @@ One string per query in the classic mini-language:
 
 composes the engine's existing clauses: ``+term`` ⇒ boolean must,
 ``-term`` ⇒ must_not, ``"..."`` ⇒ exact-phrase gate against the positional
-table, ``"..."~N`` ⇒ ordered proximity gate (words in order within a span
+table (``-"..."`` ⇒ phrase EXCLUSION — any occurrence disqualifies the
+doc, and the phrase's words never score; ``+"..."`` ≡ the bare phrase,
+already required), ``"..."~N`` ⇒ ordered proximity gate (words in order within a span
 of ``m-1+N`` tokens — the proximity DP; ordered-only, a documented
 departure from Lucene's transposition-cost slop), bare terms ⇒ should,
 ``field:value`` ⇒ metadata qualifier (GitHub-code-search style:
@@ -36,7 +38,10 @@ Grammar notes (kept deliberately small and regular):
     a bare token and tokenizes away;
   * qualifiers are recognized AFTER phrase stripping (colons inside
     quotes are literal) and accept an optional ``+``/``-`` sign (``+q:v``
-    ≡ ``q:v`` — both are conjunctive filters already);
+    ≡ ``q:v`` — both are conjunctive filters already); field NAMES are
+    case-folded, values stay case-sensitive (they are data);
+  * a lone ``+``/``-`` token is dropped as noise (it can never name a
+    clause, and AND mode must not promote it to an unsatisfiable must);
   * a query may carry up to ``MAX_PHRASES`` phrases (the composite
     phrase-key stride — ids collide past that; fixtures sit far below).
 
@@ -62,12 +67,15 @@ from invertedfiles_jl_spark.operators.search import _boolean_scored, topk
 
 MAX_PHRASES = 128
 
-_PHRASE_RE = r'"([^"]*)"'
-# the full quoted segment INCLUDING an optional ~N slop suffix — what
-# stripping removes so neither the quote contents nor '~2' leak into the
-# bare/must token streams
-_PHRASE_FULL_RE = r'"[^"]*"(~\d+)?'
-_SLOP_RE = r'"[^"]*"(?:~(\d+))?'
+# quoted phrase with an optional [+|-] sign directly before the opening
+# quote ('-"..."' is a phrase EXCLUSION, Lucene QueryParser semantics)
+# and an optional ~N slop suffix.  The full form is what stripping
+# removes, so neither the sign, the quote contents nor '~2' leak into
+# the bare/must token streams.
+_PHRASE_RE = r'[+-]?"([^"]*)"'
+_PHRASE_SIGN_RE = r'([+-]?)"[^"]*"'
+_PHRASE_FULL_RE = r'[+-]?"[^"]*"(~\d+)?'
+_SLOP_RE = r'[+-]?"[^"]*"(?:~(\d+))?'
 # metadata qualifier: [+|-]field:value at a token start (after phrase
 # stripping, so colons inside quotes are literal text).  Groups: 2 = sign
 # ('' / '+' / '-'), 3 = field, 4 = value.
@@ -80,18 +88,26 @@ _WILD_RE = r"(^|\s)([+-]?)([A-Za-z0-9_]+)\*(?=\s|$)"
 _MUST_RE = r"(^|\s)\+(\S+)"
 _MUST_NOT_RE = r"(^|\s)-(\S+)"
 _BARE_STRIP_RE = r"(^|\s)[+-]\S+"
+# a sign with nothing attached ('table - scan') is noise, not a clause;
+# dropped so AND mode cannot promote it to an unsatisfiable must term
+_LONE_SIGN_RE = r"(^|\s)[+-]+(?=\s|$)"
 
 
 def parse_query_strings(queries: DataFrame,
                         content_col: str = "content") -> DataFrame:
-    """(query_id, must, should, must_not, phrases, slops, qual_signs,
-    qual_fields, qual_values) — clause columns are space-joined strings
-    (what :func:`boolean_topk` consumes), ``phrases`` an ``array<string>``
-    of the quoted segments in order, ``slops`` the parallel ``array<int>``
-    of their ``~N`` suffixes (0 = exact phrase), and the three ``qual_*``
-    arrays the parallel sign/field/value split of the ``field:value``
-    metadata qualifiers."""
-    phrases = F.expr(f"regexp_extract_all({content_col}, '{_PHRASE_RE}', 1)")
+    """(query_id, must, should, must_not, phrases, slops, phrase_signs,
+    qual_*, wild_*) — clause columns are space-joined strings (what
+    :func:`boolean_topk` consumes); ``phrases`` an ``array<string>`` of
+    the quoted segments in order with ``slops`` (``~N`` suffix, 0 =
+    exact) and ``phrase_signs`` ('' / '+' required ≡ bare, '-' =
+    exclusion) parallel to it; the ``qual_*`` arrays the parallel
+    sign/field/value split of ``field:value`` qualifiers (field names
+    lowercased — values stay case-sensitive, they are data); the
+    ``wild_*`` arrays the sign/prefix split of ``prefix*`` wildcards."""
+    phrases = F.expr(
+        f"regexp_extract_all({content_col}, r'{_PHRASE_RE}', 1)")
+    phrase_signs = F.expr(
+        f"regexp_extract_all({content_col}, r'{_PHRASE_SIGN_RE}', 1)")
     slops = F.expr(
         f"transform(regexp_extract_all({content_col}, r'{_SLOP_RE}', 1), "
         f"s -> CASE WHEN s = '' THEN 0 ELSE CAST(s AS INT) END)")
@@ -111,7 +127,9 @@ def parse_query_strings(queries: DataFrame,
         F.expr(f"regexp_extract_all({nowild}, r'{_MUST_RE}', 2)"), " ")
     must_not = F.array_join(
         F.expr(f"regexp_extract_all({nowild}, r'{_MUST_NOT_RE}', 2)"), " ")
-    bare = F.regexp_replace(F.expr(nowild), _BARE_STRIP_RE, " ")
+    bare = F.regexp_replace(
+        F.regexp_replace(F.expr(nowild), _BARE_STRIP_RE, " "),
+        _LONE_SIGN_RE, " ")
     return queries.select(
         "query_id",
         must.alias("must"),
@@ -119,8 +137,10 @@ def parse_query_strings(queries: DataFrame,
         must_not.alias("must_not"),
         phrases.alias("phrases"),
         slops.alias("slops"),
+        phrase_signs.alias("phrase_signs"),
+        F.expr(f"transform(regexp_extract_all({nophrase}, r'{_QUAL_RE}', 3),"
+               f" f -> lower(f))").alias("qual_fields"),
         quals(2).alias("qual_signs"),
-        quals(3).alias("qual_fields"),
         quals(4).alias("qual_values"),
         wilds(2).alias("wild_signs"),
         F.expr(f"transform(regexp_extract_all({noqual}, r'{_WILD_RE}', 3), "
@@ -132,6 +152,7 @@ def parse_query_string_py(s: str) -> dict:
     """Python mirror of :func:`parse_query_strings` for one string —
     byte-for-byte the same clause split (tests gate the parity)."""
     phrases = re.findall(_PHRASE_RE, s)
+    phrase_signs = re.findall(_PHRASE_SIGN_RE, s)
     slops = [int(m or 0) for m in re.findall(_SLOP_RE, s)]
     nophrase = re.sub(_PHRASE_FULL_RE, " ", s)
     qual_matches = re.findall(_QUAL_RE, nophrase)
@@ -140,15 +161,17 @@ def parse_query_string_py(s: str) -> dict:
     nowild = re.sub(_WILD_RE, " ", noqual)
     must = [m[1] for m in re.findall(_MUST_RE, nowild)]
     must_not = [m[1] for m in re.findall(_MUST_NOT_RE, nowild)]
-    bare = re.sub(_BARE_STRIP_RE, " ", nowild)
+    bare = re.sub(_LONE_SIGN_RE, " ",
+                  re.sub(_BARE_STRIP_RE, " ", nowild))
     return {
         "must": " ".join(must),
         "should": bare,
         "must_not": " ".join(must_not),
         "phrases": phrases,
         "slops": slops,
+        "phrase_signs": phrase_signs,
         "qual_signs": [m[1] for m in qual_matches],
-        "qual_fields": [m[2] for m in qual_matches],
+        "qual_fields": [m[2].lower() for m in qual_matches],
         "qual_values": [m[3] for m in qual_matches],
         "wild_signs": [m[1] for m in wild_matches],
         "wild_prefixes": [m[2].lower() for m in wild_matches],
@@ -226,16 +249,9 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
     cfg = cfg or index.cfg
     parsed = parse_query_strings(queries, content_col)
     flags = _clause_flags(parsed)
-    folded = _fold_clauses(parsed, default_operator)
-    req = None
-    if flags["n_wild"]:
-        ws, wn, n_req, req_terms = _wildcard_parts(index, parsed,
-                                                   default_operator)
-        folded = _fold_wildcards(folded, ws, wn)
-        n_required = flags["n_wild_plus"] + (
-            flags["n_wild_bare"] if default_operator == "and" else 0)
-        if n_required:
-            req = (n_req, req_terms)
+    folded, req = _wildcard_setup(index, parsed,
+                                  _fold_clauses(parsed, default_operator),
+                                  flags, default_operator)
     scored = _boolean_scored(index, folded)
     if req is not None:
         n_req, req_terms = req
@@ -267,21 +283,24 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
 def _fold_clauses(parsed: DataFrame, default_operator: str) -> DataFrame:
     """(query_id, must, should, must_not) scoring/gating clause relation.
 
-    Phrases rank like their words: phrase text folds into the should
-    field.  ``default_operator="and"`` (Lucene QueryParser AND mode)
+    POSITIVE phrases rank like their words: their text folds into the
+    should field (a negated phrase is pure exclusion — its words never
+    score).  ``default_operator="and"`` (Lucene QueryParser AND mode)
     folds the BARE terms into must instead — every unmarked term becomes
     required; phrase words stay should-only (the phrase is already a gate
     of its own)."""
+    pos_ph = F.expr(
+        "array_join(transform(filter(arrays_zip(phrases, phrase_signs), "
+        "x -> x.phrase_signs != '-'), x -> x.phrases), ' ')")
     if default_operator == "and":
         return parsed.select(
             "query_id", "must_not",
             F.concat_ws(" ", F.col("must"), F.col("should")).alias("must"),
-            F.array_join(F.col("phrases"), " ").alias("should"),
+            pos_ph.alias("should"),
         )
     return parsed.select(
         "query_id", "must", "must_not",
-        F.concat_ws(" ", F.col("should"),
-                    F.array_join(F.col("phrases"), " ")).alias("should"),
+        F.concat_ws(" ", F.col("should"), pos_ph).alias("should"),
     )
 
 
@@ -296,6 +315,8 @@ def _clause_flags(parsed: DataFrame):
     return parsed.agg(
         F.sum(F.size("phrases")).alias("n_ph"),
         F.sum(F.expr("size(filter(slops, s -> s > 0))")).alias("n_sloppy"),
+        F.sum(F.expr(
+            "size(filter(phrase_signs, s -> s = '-'))")).alias("n_ph_neg"),
         F.sum(F.size("qual_fields")).alias("n_quals"),
         F.sum(F.size("wild_prefixes")).alias("n_wild"),
         F.sum(F.expr(
@@ -374,6 +395,22 @@ def _fold_wildcards(folded: DataFrame, wild_should: DataFrame,
     )
 
 
+def _wildcard_setup(index: InvertedIndex, parsed: DataFrame,
+                    folded: DataFrame, flags, default_operator: str):
+    """Shared wildcard wiring for the forward and percolation paths:
+    expand, fold the expansion strings into the clause relation, and
+    decide whether a required-group gate is needed.  Returns
+    ``(folded, req)`` with ``req = (n_req, req_terms)`` or ``None``."""
+    if not flags["n_wild"]:
+        return folded, None
+    ws, wn, n_req, req_terms = _wildcard_parts(index, parsed,
+                                               default_operator)
+    folded = _fold_wildcards(folded, ws, wn)
+    n_required = flags["n_wild_plus"] + (
+        flags["n_wild_bare"] if default_operator == "and" else 0)
+    return folded, ((n_req, req_terms) if n_required else None)
+
+
 def _required_wildcard_filter(cand: DataFrame, n_req: DataFrame,
                               group_hits: DataFrame) -> DataFrame:
     """Gate candidates on required-wildcard group coverage:
@@ -432,8 +469,9 @@ def _qualifier_filter(cand: DataFrame, parsed: DataFrame, meta: DataFrame,
 
 def _phrase_filter(cand: DataFrame, parsed: DataFrame, positional: DataFrame,
                    cfg: IndexConfig, flags) -> DataFrame:
-    """Filter candidate rows by the per-phrase adjacency/proximity gates
-    (a doc must satisfy EVERY phrase of its query)."""
+    """Filter candidate rows by the per-phrase adjacency/proximity gates:
+    a doc must satisfy EVERY positive phrase of its query and NO negated
+    one (``-"..."`` — Lucene's phrase exclusion)."""
     from invertedfiles_jl_spark.functions.tokenize import tokens_sql
     from invertedfiles_jl_spark.operators.positional import (
         _chain_ends,
@@ -442,12 +480,14 @@ def _phrase_filter(cand: DataFrame, parsed: DataFrame, positional: DataFrame,
 
     pq = parsed.select(
         "query_id", F.posexplode("phrases").alias("pidx", "content"),
-        F.col("slops"),
+        F.col("slops"), F.col("phrase_signs"),
     ).select(
         (F.col("query_id") * MAX_PHRASES + F.col("pidx")).alias("query_id"),
         "content",
         F.element_at("slops", F.col("pidx") + 1).alias("slop"),
+        F.element_at("phrase_signs", F.col("pidx") + 1).alias("sign"),
     )
+    qp_signs = pq.select(F.col("query_id").alias("qp_id"), "sign")
     exact = pq.filter(F.col("slop") == 0).select("query_id", "content")
     sloppy = pq.filter(F.col("slop") > 0)
     # each phrase family contributes its subtree only when present — an
@@ -477,17 +517,27 @@ def _phrase_filter(cand: DataFrame, parsed: DataFrame, positional: DataFrame,
         hits.select(
             F.floor(F.col("query_id") / MAX_PHRASES).alias("query_id"),
             F.col("query_id").alias("qp_id"), "doc_id")
+        .join(F.broadcast(qp_signs), "qp_id")
         .groupBy("query_id", "doc_id")
-        .agg(F.countDistinct("qp_id").alias("n_ph_hit"))
+        .agg(
+            F.countDistinct(F.when(F.col("sign") != "-", F.col("qp_id")))
+            .cast("long").alias("n_ph_hit"),
+            F.sum(F.when(F.col("sign") == "-", 1).otherwise(0))
+            .cast("long").alias("n_neg_ph_hit"),
+        )
     )
     need = parsed.select(
-        "query_id", F.size("phrases").alias("n_phrases"))
+        "query_id",
+        F.expr("size(filter(phrase_signs, s -> s != '-'))")
+        .alias("n_phrases"))
+    zero = F.lit(0).cast("long")
     return (
         cand.join(F.broadcast(need), "query_id", "left")
         .join(hit, ["query_id", "doc_id"], "left")
-        .filter(F.coalesce("n_phrases", F.lit(0)) ==
-                F.coalesce("n_ph_hit", F.lit(0)))
-        .drop("n_phrases", "n_ph_hit")
+        .filter((F.coalesce("n_phrases", zero) ==
+                 F.coalesce("n_ph_hit", zero)) &
+                (F.coalesce("n_neg_ph_hit", zero) == zero))
+        .drop("n_phrases", "n_ph_hit", "n_neg_ph_hit")
     )
 
 
@@ -503,13 +553,15 @@ def query_string_percolate(index: InvertedIndex, standing: DataFrame,
     relation may be millions of saved searches, parsed as column work.
 
     Returns every (query_id, doc_id, n_matched, score) pair where the doc
-    satisfies the query: all must terms present (compared on RAW tokens —
-    a streamed doc can match a term the index snapshot has never seen),
-    ≥ 1 scoring term in OR mode (every bare term in AND mode), no
-    must_not term, every phrase (adjacency/proximity over the batch's own
-    positional postings) and every qualifier (against ``meta``, default
-    the doc batch itself — incoming docs carry their own metadata
-    columns).  ``score``/``n_matched`` are the frozen-stats BM25 of
+    satisfies the query.  Candidates and every gate work on RAW tokens —
+    a streamed doc can match a term the index snapshot has never seen, so
+    an all-OOV saved search still fires (score 0, n_matched 0): all must
+    terms present, ≥ 1 scoring term in OR mode (every bare term in AND
+    mode), no must_not term, every positive phrase and no negated one
+    (adjacency/proximity over the batch's own positional postings) and
+    every qualifier (against ``meta``, default the doc batch itself —
+    incoming docs carry their own metadata columns).
+    ``score``/``n_matched`` are the frozen-stats BM25 of
     :func:`~invertedfiles_jl_spark.streaming.serve.percolate` over the
     query's scoring terms (index-OOV terms gate but score 0).
 
@@ -527,26 +579,40 @@ def query_string_percolate(index: InvertedIndex, standing: DataFrame,
     assert default_operator in ("or", "and"), default_operator
     cfg = cfg or index.cfg
     parsed = parse_query_strings(standing, "content")
-    folded = _fold_clauses(parsed, default_operator)
     flags = _clause_flags(parsed)
-    req = None
-    if flags["n_wild"]:
-        ws, wn, n_req, req_terms = _wildcard_parts(index, parsed,
-                                                   default_operator)
-        folded = _fold_wildcards(folded, ws, wn)
-        n_required = flags["n_wild_plus"] + (
-            flags["n_wild_bare"] if default_operator == "and" else 0)
-        if n_required:
-            req = (n_req, req_terms)
+    if flags["n_quals"] and not qualifier_fields:
+        raise ValueError(
+            "standing query strings carry field:value qualifiers — pass "
+            "qualifier_fields naming the doc metadata columns")
+    folded, req = _wildcard_setup(index, parsed,
+                                  _fold_clauses(parsed, default_operator),
+                                  flags, default_operator)
 
     sq = folded.select(
         "query_id",
         F.concat_ws(" ", F.col("must"), F.col("should")).alias("content"))
-    per = percolate(index, sq, docs, require_all=False,
-                    content_col=content_col)
+    pscore = percolate(index, sq, docs, require_all=False,
+                       content_col=content_col)
 
     # raw-token clause gates: doc term sets vs the broadcast clause tokens
     dt = exploded_terms(docs, "doc_id", "doc_id", content_col, cfg).distinct()
+
+    # candidate pairs come from RAW tokens (disjunctive: ≥ 1 scoring
+    # term), so a standing query whose terms are all index-OOV still
+    # fires on a doc that literally contains one — the raw-token contract
+    # the docstring promises.  The vocab-scored pairs (every one also a
+    # raw match) then attach score/n_matched, defaulting to 0.
+    st = exploded_terms(sq, "query_id", "query_id", "content",
+                        cfg).distinct()
+    cand = dt.join(F.broadcast(st), "term").select(
+        "doc_id", "query_id").distinct()
+    zero_l = F.lit(0).cast("long")
+    per = (
+        cand.join(pscore, ["doc_id", "query_id"], "left")
+        .select("doc_id", "query_id",
+                F.coalesce("n_matched", zero_l).alias("n_matched"),
+                F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
+    )
 
     def clause_tokens(col):
         # (query_id, term) — exploded_terms' doc_out slot carries the

@@ -243,6 +243,8 @@ QSTRING_SET: list[tuple[int, str]] = [
     (21, '+sc* merge'),
     (22, 'merge -sp*'),
     (23, '+zz* fast'),
+    (24, '-"fast query" table'),
+    (25, 'merge -"table scan"~3'),
 ]
 
 

@@ -452,7 +452,9 @@ def main(argv=None):
         res = query_string_topk(
             idx, pos, queries, k=args.k, rank_round=args.rank_round,
             meta=meta,
-            qualifier_fields=tuple(args.qualifier_fields.split(",")),
+            qualifier_fields=tuple(
+                f.strip() for f in args.qualifier_fields.split(",")
+                if f.strip()),
             default_operator=args.default_operator)
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote query-string results to {args.output}")
@@ -467,7 +469,8 @@ def main(argv=None):
                 query_string_percolate,
             )
 
-            qf = tuple(f for f in args.qualifier_fields.split(",") if f)
+            qf = tuple(f.strip() for f in args.qualifier_fields.split(",")
+                       if f.strip())
             res = query_string_percolate(
                 idx, standing, docs, qualifier_fields=qf,
                 default_operator=args.default_operator)

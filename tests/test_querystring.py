@@ -42,6 +42,9 @@ ADVERSARIAL = [
     '+lang:en bare -not +must q:v',  # signed qualifiers + ordinary clauses
     'a:b:c d',                       # value may itself contain a colon
     'x:1y:2',                        # greedy value eats the rest of token
+    '-"excluded phrase" +"required one" "plain"',  # signed phrases
+    'table - scan + x',              # lone signs are noise, not clauses
+    '-"neg slop"~2 keep',            # negated sloppy phrase
 ]
 
 
@@ -53,9 +56,12 @@ def _parse_via_spark(spark, strings):
     return [
         {"must": r.must, "should": r.should, "must_not": r.must_not,
          "phrases": list(r.phrases), "slops": list(r.slops),
+         "phrase_signs": list(r.phrase_signs),
          "qual_signs": list(r.qual_signs),
          "qual_fields": list(r.qual_fields),
-         "qual_values": list(r.qual_values)}
+         "qual_values": list(r.qual_values),
+         "wild_signs": list(r.wild_signs),
+         "wild_prefixes": list(r.wild_prefixes)}
         for r in rows
     ]
 
@@ -67,10 +73,11 @@ def _norm(p):
         "must": p["must"].split(),
         "should": p["should"].split(),
         "must_not": p["must_not"].split(),
-        "phrases": p["phrases"],
+        "phrases": list(zip(p["phrase_signs"], p["phrases"])),
         "slops": p["slops"],
         "quals": list(zip(p["qual_signs"], p["qual_fields"],
                           p["qual_values"])),
+        "wilds": list(zip(p["wild_signs"], p["wild_prefixes"])),
     }
 
 
@@ -132,11 +139,14 @@ def tiny(spark):
     return idx, pos
 
 
-def _run(spark, tiny, s, k=10):
+def _topk_rows(spark, tiny, s, k=10):
     idx, pos = tiny
     q = spark.createDataFrame([(1, s)], "query_id long, content string")
-    rows = query_string_topk(idx, pos, q, k=k, rank_round=6).collect()
-    return [r.doc_id for r in rows]
+    return query_string_topk(idx, pos, q, k=k, rank_round=6).collect()
+
+
+def _run(spark, tiny, s, k=10):
+    return [r.doc_id for r in _topk_rows(spark, tiny, s, k)]
 
 
 class TestGates:
@@ -160,6 +170,38 @@ class TestGates:
 
     def test_empty_query_empty(self, spark, tiny):
         assert _run(spark, tiny, "   ") == []
+
+    def test_negated_phrase_excludes(self, spark, tiny):
+        # '"fast query"' docs = {1,4,5,6}; negating it from a 'table'
+        # query must return table docs WITHOUT the phrase
+        docs = _run(spark, tiny, '-"fast query" table')
+        assert set(docs) == {3}  # docs 4, 5 have table but also the phrase
+
+    def test_negated_sloppy_phrase_excludes(self, spark, tiny):
+        # '"query scan"~4' matches only doc 1 (span 5 ≤ 1+4)
+        docs = _run(spark, tiny, '-"query scan"~4 fast')
+        assert 1 not in docs and set(docs) == {2, 4, 5, 6}
+
+    def test_negated_phrase_words_do_not_score(self, spark, tiny):
+        # the negated phrase's words must not leak into scoring: result
+        # scores equal the plain 'table' query's on the shared docs
+        neg = {r.doc_id: round(r.score, 9) for r in _topk_rows(
+            spark, tiny, '-"fast query" table')}
+        plain = {r.doc_id: round(r.score, 9) for r in _topk_rows(
+            spark, tiny, "table")}
+        for d, s in neg.items():
+            assert plain[d] == s
+
+    def test_lone_signs_are_noise(self, spark, tiny):
+        assert _run(spark, tiny, "fast - merge") == \
+            _run(spark, tiny, "fast merge")
+        # AND mode must not fabricate an unsatisfiable must term
+        idx, pos = tiny
+        q = spark.createDataFrame([(1, "table - scan")],
+                                  "query_id long, content string")
+        docs = [r.doc_id for r in query_string_topk(
+            idx, pos, q, k=10, default_operator="and").collect()]
+        assert set(docs) == {3}  # table AND scan
 
     # doc 1 = "fast query engine runs a fast scan": query@1 … scan@6 is an
     # ordered span of 5; budget for "query scan"~N is (m-1)+N = 1+N
@@ -251,6 +293,11 @@ class TestQualifierGates:
 
     def test_numeric_on_string_field_unsatisfied(self, spark, tiny, meta):
         assert _runq(spark, tiny, meta, "fast lang:>10") == []
+
+    def test_qualifier_field_name_case_insensitive(self, spark, tiny,
+                                                   meta):
+        assert _runq(spark, tiny, meta, "fast Lang:en") == \
+            _runq(spark, tiny, meta, "fast lang:en")
 
     def test_quals_without_meta_raise(self, spark, tiny):
         idx, pos = tiny
@@ -395,6 +442,38 @@ class TestPercolate:
             [(1, "+brandnew fast")], "query_id long, content string")
         res = query_string_percolate(idx, standing, newdocs).collect()
         assert [(r.query_id, r.doc_id) for r in res] == [(1, 99)]
+
+    def test_all_oov_standing_query_still_fires(self, spark, tiny):
+        """A saved search for a term NEWER than the index snapshot must
+        match a doc containing it — raw-token candidates, score 0."""
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_percolate,
+        )
+
+        idx, _ = tiny
+        newdocs = spark.createDataFrame(
+            [(99, "brandnew term here"), (100, "other text")],
+            "doc_id long, content string")
+        standing = spark.createDataFrame(
+            [(1, "+brandnew")], "query_id long, content string")
+        res = query_string_percolate(idx, standing, newdocs).collect()
+        assert [(r.query_id, r.doc_id, r.n_matched, r.score)
+                for r in res] == [(1, 99, 0, 0.0)]
+
+    def test_negated_phrase_in_percolation(self, spark, tiny, pdocs):
+        got = self._perc(spark, tiny, pdocs, ['-"fast query" table'])
+        assert got.get(1) == {3}
+
+    def test_quals_without_fields_raise(self, spark, tiny, pdocs):
+        from invertedfiles_jl_spark.operators.querystring import (
+            query_string_percolate,
+        )
+
+        idx, _ = tiny
+        standing = spark.createDataFrame(
+            [(1, "fast lang:en")], "query_id long, content string")
+        with pytest.raises(ValueError, match="qualifier_fields"):
+            query_string_percolate(idx, standing, pdocs)
 
 
 class TestDefaultOperator:

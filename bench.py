@@ -103,9 +103,10 @@ def gen_phrases(spark, corpus, n=N_QUERIES):
 
 def gen_qstrings(spark, corpus, n=N_QUERIES):
     """Deterministic n query strings cycling the mini-language's clause
-    shapes (must / must_not / exact phrase / sloppy phrase / multi-must)
-    over the bench vocabulary, with phrase text lifted from real corpus
-    bigrams (gen_phrases protocol) so the positional gates have hits."""
+    shapes (must / must_not / exact phrase / sloppy phrase / multi-must /
+    required wildcard) over the bench vocabulary, with phrase text lifted
+    from real corpus bigrams (gen_phrases protocol) so the positional
+    gates have hits."""
     terms = ["scan", "column", "window", "order", "sort", "merge", "query",
              "join", "filter", "fast", "table", "stream", "batch", "data"]
     phrases = [r["content"] for r in gen_phrases(spark, corpus, n).collect()]
@@ -114,7 +115,8 @@ def gen_qstrings(spark, corpus, n=N_QUERIES):
         a, b, c = (terms[(i * 5 + j * 3) % len(terms)] for j in range(3))
         ph = phrases[i % len(phrases)]
         s = [f"+{a} {b}", f"{a} -{b} {c}", f'"{ph}" {a}',
-             f'"{ph}"~3 {a}', f"+{a} +{b} {c}"][i % 5]
+             f'"{ph}"~3 {a}', f"+{a} +{b} {c}",
+             f"+{a[:3]}* {b}"][i % 6]
         rows.append((i + 1, s))
     return spark.createDataFrame(rows, "query_id long, content string")
 

@@ -1877,6 +1877,36 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized cosine top-k with exact re-scoring — the
+    memory-scale dense path (1 byte/dim candidate scan, ``depth``-bounded
+    full-precision rerank)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    res = sq8_topk(emb, _equeries(emb), k=10, depth=50)
+    return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style one-pass dense dedup over the IVF-cluster near-dup
+    pair relation (threshold 0.4 — see _q_emb_near_dups for why 0.8 would
+    gate an empty relation on this near-orthogonal synthetic data)."""
+    from invertedfiles_jl_spark.operators.ann import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_clusters=8)
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-α unigram-LM perplexity per document (the CCNet-
+    style fluency filter signal)."""
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+
+    return lm_perplexity(_corpus(spark, sf_dir))
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank over dense candidates: top-20 cosine
     candidates per query vector, greedy λ=0.7 marginal-relevance selection
@@ -3496,6 +3526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "ann_sq8": _q_ann_sq8,
+        "semantic_dedup": _q_semantic_dedup,
+        "lm_perplexity": _q_lm_perplexity,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
@@ -3609,6 +3642,9 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "fingerprint": _osql.fingerprint_sql(),
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
+        "ann_sq8": _osql.ann_sq8_sql(),
+        "semantic_dedup": _osql.semantic_dedup_sql(threshold=0.4, n_clusters=8),
+        "lm_perplexity": _osql.lm_perplexity_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "mmr_rerank": _mmr_sql(),

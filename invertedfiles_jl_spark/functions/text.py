@@ -216,3 +216,49 @@ def doc_keywords(corpus, cfg=None, n: int = 5, rank_round: int | None = None,
         .filter(F.col("rank") <= n)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def lm_perplexity(df: DataFrame, cfg: IndexConfig | None = None,
+                  doc_col: str = "doc_id", content_col: str = "content",
+                  alpha: float = 0.5, ppl_round: int = 4) -> DataFrame:
+    """(doc_id, n_tokens, ppl) — corpus-trained unigram-LM perplexity, the
+    CCNet-style fluency signal training-data pipelines filter on (docs far
+    from the corpus distribution score high).
+
+    Model: add-``alpha`` smoothed unigram probabilities from the corpus's
+    own token counts, ``p(w) = (c(w)+α) / (N + α·(V+1))`` (the +1 reserves
+    unseen mass so the model also scores held-out text); per-doc score =
+    ``exp(-Σ tf·ln p(w) / n_tokens)``.
+
+    Scale shape: training is one partial+final term count (V rows out,
+    corpus-size in); scoring joins each doc's DISTINCT terms against the
+    broadcast probability table and does one per-doc aggregation — no
+    per-token rows survive the first groupBy.  At 100 TB the broadcast
+    stays bounded by pruning the vocabulary to min-count terms upstream
+    (rare terms then fall into the smoothed floor, which is exactly the
+    model's unseen estimate).  ``ppl`` is rounded (default 4 dp) because
+    the log-sum's float addition order differs across engines.
+    """
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+    occ = df.select(F.col(doc_col).alias("doc_id"),
+                    F.explode(F.expr(t)).alias("term"))
+    counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").cast("double").alias("n"),
+                     F.count(F.lit(1)).cast("double").alias("v"))
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        ((F.col("c") + F.lit(alpha))
+         / (F.col("n") + F.lit(alpha) * (F.col("v") + 1.0))).alias("p"),
+    )
+    dt = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    agg = (
+        dt.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.log("p")) / F.sum("tf")).alias("h"),
+        )
+    )
+    return agg.select("doc_id", "n_tokens",
+                      F.round(F.exp("h"), ppl_round).alias("ppl"))

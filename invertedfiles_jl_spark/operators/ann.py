@@ -273,3 +273,144 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
         scored.filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8): the memory-scale path for dense retrieval
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(emb: DataFrame) -> DataFrame:
+    """One-row (mns, ss) per-dimension quantizer: ``mns[d]`` = corpus min of
+    dimension d, ``ss[d]`` = (max-min)/255 (1.0 when the dimension is
+    constant, so its code is 0).  Computed as a posexplode + partial+final
+    min/max aggregation — d output rows regardless of corpus size, then
+    assembled into two arrays (the broadcastable codebook).  min/max are
+    order-independent, so the quantizer is bit-identical across engines
+    (the summation-order caveat of mean-based codebooks doesn't apply).
+    """
+    per = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min(F.col("v").cast("double")).alias("mn"),
+             F.max(F.col("v").cast("double")).alias("mx"))
+        .withColumn(
+            "s",
+            F.when(F.col("mx") > F.col("mn"),
+                   (F.col("mx") - F.col("mn")) / F.lit(255.0))
+            .otherwise(F.lit(1.0)),
+        )
+    )
+    return (
+        per.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("pm"),
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+        )
+        .select(F.col("pm.mn").alias("mns"), F.col("ps.s").alias("ss"))
+    )
+
+
+def sq8_codes(emb: DataFrame, stats: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int> in [0,255]) — ``round((v-mn)/s)`` per
+    dimension, clipped.  The stored representation is 1 byte/dim vs 4
+    (what lets a 100-TB embedding table's hot set stay in executor memory);
+    everything downstream decodes on the fly.  HALF_UP rounding on a
+    non-negative quotient — identical in Spark and DuckDB."""
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(least(255D, greatest(0D, "
+            "round((CAST(v AS DOUBLE) - mns[i]) / ss[i], 0))) AS INT))"
+        ).alias("codes"),
+    )
+
+
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             depth: int = 50, exclude_self: bool = True,
+             rank_round: int = 6) -> DataFrame:
+    """Scalar-quantized cosine top-k with exact re-scoring: rank ALL docs by
+    the asymmetric approximate cosine (full-precision query against the
+    int8-decoded document vector ``mn + code*s``), keep the top ``depth``
+    candidates per query, then re-score exactly against the original float
+    vectors and emit the top ``k``.
+
+    Scale shape: the candidate scan touches only the int8 codes (4× less
+    memory traffic than floats; the decode is two fused multiply-adds per
+    dimension inside whole-stage codegen), the exact re-score touches
+    ``depth`` full vectors per query — bounded, not corpus-sized.  Recall
+    is near-1 because SQ8's per-dim error is ≤ s/2 (pinned by pytest
+    against ``brute_force_topk``).  Deterministic ⇒ DuckDB-mirrorable
+    (``plans.oracles.ann_sq8_sql``).
+    """
+    stats = sq8_stats(emb)
+    dehat = sq8_codes(emb, stats).crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr("transform(codes, (c, i) -> mns[i] + CAST(c AS DOUBLE) * ss[i])"
+               ).alias("d_emb"),
+    )
+    j = dehat.crossJoin(F.broadcast(queries.select("query_id", "q_emb")))
+    if exclude_self:
+        j = j.filter(F.col("vec_id") != F.col("query_id"))
+    ascored = with_cosine(j).select("query_id", "vec_id", F.col("cos").alias("acos"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("acos"), 6).desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        ascored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= depth)
+        .select("query_id", "vec_id")
+    )
+    # cand is Q·depth rows — broadcast it so the exact re-score probes the
+    # full table instead of shuffling it (the fusion-recovery discipline)
+    rescored = with_cosine(
+        emb.select("vec_id", F.col("embedding").alias("d_emb"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "q_emb")), "query_id")
+    ).select("query_id", "vec_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), rank_round).desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   n_clusters: int = 16,
+                   n_bands: int | None = None,
+                   band_width: int = 8) -> DataFrame:
+    """SemDeDup-style one-pass dense deduplication: (vec_id, kept, dup_of).
+
+    A vector is dropped iff SOME lower-id vector in its IVF cluster has
+    cosine ≥ threshold to it (``dup_of`` = the smallest such id, -1 when
+    kept — a sentinel instead of NULL so the row is hashable/sortable in
+    every downstream comparator).  One pass, no iteration: the keep decision depends only on the
+    pair relation, not on whether ``dup_of`` itself survived — the
+    scale-friendly policy (each partition decides its rows from the
+    broadcast-joined pair list alone).  The text-side mirror with FULL
+    transitive closure is ``operators.dedup.near_duplicate_clusters``
+    (connected components); this is the dense-embedding counterpart used by
+    curation pipelines where one representative per near-duplicate
+    neighborhood suffices.  Candidate generation = the same IVF-cluster
+    (optionally sign-band LSH) prune as :func:`embedding_near_duplicates`,
+    so nothing here is O(n²).
+    """
+    pairs = embedding_near_duplicates(
+        emb, threshold=threshold, n_clusters=n_clusters,
+        n_bands=n_bands, band_width=band_width,
+    )
+    dups = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return (
+        emb.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        )
+    )

@@ -1077,3 +1077,107 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, min_span FROM ranked WHERE rank <= {k}
 """
+
+
+def ann_sq8_sql(k: int = 10, depth: int = 50, n_queries: int = 5) -> str:
+    """Mirrors ``operators.ann.sq8_topk``: per-dimension min/max quantizer
+    (min/max are order-independent ⇒ bit-identical codebooks), int8 codes
+    via round((v-mn)/s) on non-negative quotients (HALF_UP in both
+    engines), approximate rank on the decoded ``mn + code*s`` vectors, top
+    ``depth`` candidate cut at round(acos, 6), exact re-score of the
+    candidates, final rank at round(cos, 6)."""
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT pos, min(v) AS mn,
+         CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / 255.0 ELSE 1.0 END AS s
+  FROM dims GROUP BY pos
+),
+dehat AS (
+  SELECT d.vec_id, d.pos,
+         sc.mn + CAST(least(255.0, greatest(0.0, round((d.v - sc.mn) / sc.s))) AS INT) * sc.s AS dv
+  FROM dims d JOIN sc USING (pos)
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+qdims AS (
+  SELECT query_id, generate_subscripts(q_emb, 1) AS pos,
+         CAST(unnest(q_emb) AS DOUBLE) AS qv
+  FROM q
+),
+qn AS (SELECT query_id, sqrt(sum(qv * qv)) AS nq FROM qdims GROUP BY query_id),
+dn AS (SELECT vec_id, sqrt(sum(dv * dv)) AS nd FROM dehat GROUP BY vec_id),
+ascored AS (
+  SELECT qd.query_id, dh.vec_id, sum(qd.qv * dh.dv) / (any_value(qn.nq) * any_value(dn.nd)) AS acos
+  FROM qdims qd
+  JOIN dehat dh USING (pos)
+  JOIN qn ON qn.query_id = qd.query_id
+  JOIN dn ON dn.vec_id = dh.vec_id
+  WHERE dh.vec_id != qd.query_id
+  GROUP BY qd.query_id, dh.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(acos, 6) DESC, vec_id ASC) AS r
+    FROM ascored
+  ) WHERE r <= {depth}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, {_cos('q.q_emb', 'e.embedding')} AS cos
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def semantic_dedup_sql(threshold: float = 0.4, n_clusters: int = 8,
+                       n_bands: int | None = None,
+                       band_width: int = 8) -> str:
+    """Mirrors ``operators.ann.semantic_dedup``: the near-duplicate pair
+    relation (same CTE chain as ``embedding_near_dups_sql``) reduced to the
+    one-pass keep-min policy — a vector is dropped iff some lower-id
+    same-cluster vector is within the threshold; ``dup_of`` = the smallest
+    such id."""
+    pairs = embedding_near_dups_sql(threshold, n_clusters, n_bands, band_width)
+    return f"""
+WITH pr AS ({pairs}),
+dups AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM pr GROUP BY vec_b)
+SELECT e.vec_id, d.dup_of IS NULL AS kept,
+       coalesce(d.dup_of, -1) AS dup_of
+FROM embeddings e LEFT JOIN dups d ON d.vec_id = e.vec_id
+"""
+
+
+def lm_perplexity_sql(alpha: float = 0.5, ppl_round: int = 4) -> str:
+    """Mirrors ``functions.text.lm_perplexity``: add-alpha unigram LM from
+    the corpus's own counts, per-doc exp(mean negative log-likelihood)."""
+    return f"""
+WITH occ AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS c FROM occ GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+probs AS (
+  SELECT term, (c + {alpha}) / (n + {alpha} * (v + 1.0)) AS p
+  FROM counts CROSS JOIN tot
+),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         -sum(tf * ln(p)) / sum(tf) AS h
+  FROM dt JOIN probs USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(exp(h), {ppl_round}) AS ppl FROM agg
+"""

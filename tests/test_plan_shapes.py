@@ -467,3 +467,33 @@ def test_chunk_documents_shuffle_free(spark, documents):
     plan = chunk_documents(corpus, 64, 48)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sq8_semantic_lm_plans_no_smj(spark, documents):
+    """Fourth batch: SQ8 quantized ANN (broadcast codebook + broadcast
+    candidate rescore) and the unigram-LM scorer (broadcast probability
+    table) stay SortMergeJoin-free; SemDeDup's same-cluster self-join is a
+    legitimately corpus-sized shuffle join (neither side broadcastable), so
+    its gate is the n²-path one: no cartesian/nested-loop join anywhere —
+    every pair candidate must flow through the cluster-keyed equi-join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+    from invertedfiles_jl_spark.operators.ann import semantic_dedup, sq8_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    for df in [sq8_topk(emb, q, k=5, depth=20), lm_perplexity(corpus)]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+    sem = semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    # the BroadcastNestedLoopJoin in this plan is emb × broadcast(centroids)
+    # — the n·n_clusters IVF assignment scan, intended; the forbidden shape
+    # is an un-broadcast corpus×corpus product
+    assert "CartesianProduct" not in plan

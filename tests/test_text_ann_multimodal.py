@@ -372,3 +372,107 @@ def test_corpus_profile_vs_python(documents, docs_pandas, spark):
     assert row.doc_len_max == int(lens.max())
     assert abs(row.df_p90 - round(float(np.quantile(dfa, 0.9)), 6)) < 1e-9
     assert row.df_max == int(dfa.max())
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization + semantic dedup + unigram-LM perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_codes_shape_and_range(emb, spark):
+    from invertedfiles_jl_spark.operators.ann import sq8_codes, sq8_stats
+
+    stats = sq8_stats(emb)
+    rows = sq8_codes(emb, stats).collect()
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["codes"]) == dim for r in rows)
+    assert all(0 <= c <= 255 for r in rows for c in r["codes"])
+
+
+def test_sq8_recall_vs_brute_force(emb):
+    """SQ8 per-dim error ≤ s/2 keeps top-10 recall near 1 on real vectors."""
+    from invertedfiles_jl_spark.operators.ann import sq8_topk
+
+    exact = brute_force_topk(emb, _queries(emb), k=10)
+    approx = sq8_topk(emb, _queries(emb), k=10, depth=50)
+    gold = {}
+    for r in exact.collect():
+        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_sq8_exact_on_quantization_grid(spark):
+    """Vectors already on the quantizer grid decode losslessly → SQ8 ranks
+    exactly like brute force."""
+    from invertedfiles_jl_spark.operators.ann import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 4 + 1), float((i * 3) % 4 + 1)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    exact = brute_force_topk(emb, q, k=5)
+    approx = sq8_topk(emb, q, k=5, depth=20)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))
+
+
+def test_semantic_dedup_policy(emb):
+    """Every dropped vector names a lower-id dup_of whose cosine clears the
+    threshold; kept rows have no in-cluster lower-id neighbor above it."""
+    from invertedfiles_jl_spark.operators.ann import (
+        embedding_near_duplicates, semantic_dedup)
+
+    res = semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    rows = res.collect()
+    assert len(rows) == emb.count()
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_duplicates(
+                 emb, threshold=0.4, n_clusters=8).collect()}
+    lowest = {}
+    for a, b in pairs:
+        lowest[b] = min(lowest.get(b, a), a)
+    for r in rows:
+        if r["kept"]:
+            assert r["vec_id"] not in lowest
+            assert r["dup_of"] == -1
+        else:
+            assert r["dup_of"] == lowest[r["vec_id"]]
+            assert r["dup_of"] < r["vec_id"]
+
+
+def test_lm_perplexity_orders_fluency(spark):
+    """Docs made of corpus-frequent tokens score lower perplexity than a
+    doc of corpus-rare tokens, and ppl matches the closed-form unigram
+    model."""
+    import math
+
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+
+    docs = [
+        (0, "the the the cat"),
+        (1, "the cat the cat"),
+        (2, "zyx qwv zyx jkl"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in lm_perplexity(df, CFG).collect()}
+    toks = [t for _, c in docs for t in c.split()]
+    n, counts = len(toks), {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    v, a = len(counts), 0.5
+
+    def p(w):
+        return (counts[w] + a) / (n + a * (v + 1))
+
+    for doc_id, content in docs:
+        ws = content.split()
+        h = -sum(math.log(p(w)) for w in ws) / len(ws)
+        assert abs(got[doc_id]["ppl"] - round(math.exp(h), 4)) < 1e-9
+        assert got[doc_id]["n_tokens"] == len(ws)
+    assert got[2]["ppl"] > got[0]["ppl"]
+    assert got[2]["ppl"] > got[1]["ppl"]

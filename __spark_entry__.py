@@ -1877,6 +1877,16 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation verdict: lang → quality → exact-dup → near-dup,
+    each doc labeled keep/reason (first failing gate).  One row gates the
+    whole training-data filter chain end-to-end."""
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    return curate(_corpus(spark, sf_dir), langs=("en",), quality_min=0.45,
+                  near_threshold=0.5)
+
+
 def _q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized cosine top-k with exact re-scoring — the
     memory-scale dense path (1 byte/dim candidate scan, ``depth``-bounded
@@ -3529,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": _q_ann_sq8,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "curation_verdict": _q_curate,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
@@ -3645,6 +3656,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_sq8": _osql.ann_sq8_sql(),
         "semantic_dedup": _osql.semantic_dedup_sql(threshold=0.4, n_clusters=8),
         "lm_perplexity": _osql.lm_perplexity_sql(),
+        "curation_verdict": _osql.curate_sql(
+            langs=("en",), quality_min=0.45, near_threshold=0.5),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "mmr_rerank": _mmr_sql(),

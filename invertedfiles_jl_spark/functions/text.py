@@ -30,24 +30,32 @@ def _arr_lit(values: list[str]) -> str:
     return f"array({inner})"
 
 
+def pred_lang_col(t: str) -> F.Column:
+    """Predicted-language Column for token-array expression ``t``: argmax
+    over marker-token hit counts, ties by language name, 'und' when no
+    marker hits.  Exposed so composition operators (``operators.curation``)
+    can evaluate the gate in the same scan as their other gates."""
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lang: F.expr(f"size(array_intersect({t}, {_arr_lit(LANG_MARKERS[lang])}))")
+        for lang in langs
+    }
+    # argmax via greatest + chained when (deterministic tie-break: lang asc)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return pred
+
+
 def lang_id(df: DataFrame, cfg: IndexConfig | None = None,
             doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """(doc_id, pred_lang) — argmax over marker-token hit counts, ties by
     language name, 'und' when no marker hits."""
     cfg = cfg or IndexConfig()
     t = tokens_sql(content_col, cfg)
-    hits = [
-        F.expr(f"size(array_intersect({t}, {_arr_lit(m)}))").alias(f"hits_{lang}")
-        for lang, m in sorted(LANG_MARKERS.items())
-    ]
-    scored = df.select(F.col(doc_col).alias("doc_id"), *hits)
-    # argmax via greatest + chained when (deterministic tie-break: lang asc)
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in langs:
-        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
-    return scored.select("doc_id", pred.alias("pred_lang"))
+    return df.select(F.col(doc_col).alias("doc_id"),
+                     pred_lang_col(t).alias("pred_lang"))
 
 
 def token_stats(df: DataFrame, cfg: IndexConfig | None = None,
@@ -74,6 +82,19 @@ def quality_score(df: DataFrame, cfg: IndexConfig | None = None,
     quality = 0.5·min(n_tokens/100, 1) + 0.3·distinct_ratio + 0.2·(1 − |stop_ratio − 0.4|)."""
     cfg = cfg or IndexConfig()
     t = tokens_sql(content_col, cfg)
+    stop_ratio, distinct_ratio, quality = quality_cols(t)
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def quality_cols(t: str) -> tuple[F.Column, F.Column, F.Column]:
+    """(stop_ratio, distinct_ratio, quality) Columns for token-array
+    expression ``t`` — the raw (un-rounded) gate inputs, shared between
+    :func:`quality_score` and composition operators."""
     n = F.expr(f"size({t})")
     stops = F.expr(
         f"size(filter({t}, x -> array_contains({_arr_lit(STOPWORDS)}, x)))"
@@ -86,12 +107,7 @@ def quality_score(df: DataFrame, cfg: IndexConfig | None = None,
         + 0.3 * distinct_ratio
         + 0.2 * (1.0 - F.abs(stop_ratio - 0.4))
     )
-    return df.select(
-        F.col(doc_col).alias("doc_id"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(quality, 6).alias("quality"),
-    )
+    return stop_ratio, distinct_ratio, quality
 
 
 def fingerprint(df: DataFrame, cfg: IndexConfig | None = None,

@@ -640,7 +640,9 @@ SELECT doc_id, CAST({simhash_combine_sql(SIMHASH_BITS)} AS BIGINT) AS simhash FR
 """
 
 
-def lang_id_sql() -> str:
+def _lang_exprs() -> tuple[str, str]:
+    """(hit_cols, pred) fragments of the marker-argmax language gate —
+    shared by ``lang_id_sql`` and ``curate_sql``."""
     langs = sorted(LANG_MARKERS)
     hit_cols = ",\n         ".join(
         f"len(list_intersect({_T}, {LANG_MARKERS[lang]!r})) AS hits_{lang}".replace("'", "'")
@@ -652,6 +654,11 @@ def lang_id_sql() -> str:
     for lang in langs:
         pred += f"WHEN hits_{lang} = {best} THEN '{lang}' "
     pred += "END"
+    return hit_cols, pred
+
+
+def lang_id_sql() -> str:
+    hit_cols, pred = _lang_exprs()
     return f"""
 WITH scored AS (
   SELECT doc_id, {hit_cols}
@@ -671,7 +678,9 @@ FROM documents
 """
 
 
-def quality_score_sql() -> str:
+def _quality_exprs() -> tuple[str, str, str]:
+    """(stop_ratio, distinct_ratio, quality) expression fragments — shared
+    by ``quality_score_sql`` and ``curate_sql``."""
     stop = str(STOPWORDS)
     n = f"len({_T})"
     stops = f"len(list_filter({_T}, x -> list_contains({stop}, x)))"
@@ -679,6 +688,11 @@ def quality_score_sql() -> str:
     sr = f"({stops} / greatest({n}, 1))"
     dr = f"({distinct} / greatest({n}, 1))"
     q = f"(0.5 * least({n} / 100.0, 1.0) + 0.3 * {dr} + 0.2 * (1.0 - abs({sr} - 0.4)))"
+    return sr, dr, q
+
+
+def quality_score_sql() -> str:
+    sr, dr, q = _quality_exprs()
     return f"""
 SELECT doc_id,
        round({sr}, 6) AS stopword_ratio,
@@ -1180,4 +1194,43 @@ agg AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, round(exp(h), {ppl_round}) AS ppl FROM agg
+"""
+
+
+def curate_sql(langs: tuple[str, ...] = ("en",), quality_min: float = 0.45,
+               near_threshold: float = 0.5) -> str:
+    """Mirrors ``operators.curation.curate``: the full curation verdict —
+    language gate, quality gate (same rounded-to-6dp value as
+    ``quality_score_sql``), exact-dup keep-min, near-dup keep-min — with
+    the first-failing-gate reason attribution.  The dedup drop lists embed
+    the existing ``dedup_exact_sql`` / ``near_dup_clusters_sql`` bodies as
+    derived tables, so one oracle row pins the whole composition."""
+    hit_cols, pred = _lang_exprs()
+    _, _, q = _quality_exprs()
+    langs_lit = str(list(langs))
+    return f"""
+WITH ex AS (
+  SELECT doc_id FROM ({dedup_exact_sql()}) WHERE doc_id != canonical_id
+),
+nd AS (
+  SELECT doc_id FROM ({near_dup_clusters_sql(near_threshold)}) WHERE doc_id != cluster_id
+),
+scored AS (
+  SELECT doc_id, {hit_cols},
+         round({q}, 6) AS quality
+  FROM documents
+),
+lbl AS (SELECT doc_id, {pred} AS pred_lang, quality FROM scored),
+r AS (
+  SELECT l.doc_id,
+         CASE WHEN NOT list_contains({langs_lit}, l.pred_lang) THEN 'lang'
+              WHEN l.quality < {quality_min} THEN 'quality'
+              WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+              ELSE 'ok' END AS reason
+  FROM lbl l
+  LEFT JOIN ex ON ex.doc_id = l.doc_id
+  LEFT JOIN nd ON nd.doc_id = l.doc_id
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """

@@ -150,3 +150,57 @@ def test_near_dup_clusters_transitive_closure(documents, docs_pandas):
         got.setdefault(r.cluster_id, set()).add(r.doc_id)
         assert r.cluster_size == len(want[find(r.cluster_id)])
     assert got == {min(m): m for m in want.values()}
+
+
+# ---------------------------------------------------------------------------
+# composed curation verdict
+# ---------------------------------------------------------------------------
+
+
+def test_curate_first_failing_gate(spark):
+    """Each engineered doc fails exactly the gate the fixture targets, in
+    the contract's fixed order (a non-English exact duplicate reports
+    'lang', not 'exact_dup')."""
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    clean = ("the alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo sierra "
+             "tango uniform victor whiskey xray yankee zulu and of a is to "
+             * 4)
+    rich = ("the quick brown fox jumps over the lazy dog and then "
+            "is of a to merge sort window table row value part hash "
+            "batch scan line key slow fast spark agg " * 3)
+    docs = [
+        (0, clean),                                # clean → ok
+        (1, "el la de los " * 40),                 # Spanish markers → lang
+        (2, "the a of"),                           # 3 tokens → low quality
+        (3, rich + " three"),                      # canonical of exact pair
+        (4, rich + " three"),                      # exact dup of 3
+        (5, "el la de los " * 40 + " cinco"),      # es near-dup of 1: lang fires FIRST
+        (6, rich + " three six"),                  # near-dup of 3 (high shingle overlap)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(df, langs=("en",), quality_min=0.45,
+                           near_threshold=0.5).collect()}
+    assert len(got) == len(docs)
+    assert got[0] == (True, "ok")
+    assert got[1] == (False, "lang")
+    assert got[2] == (False, "quality")
+    assert got[3] == (True, "ok")            # keep-min canonical survives
+    assert got[4] == (False, "exact_dup")
+    assert got[5] == (False, "lang")         # lang gate fires before near_dup
+    assert got[6] == (False, "near_dup")
+
+
+def test_curate_covers_every_doc_once(documents, spark):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    res = curate(corpus)
+    assert res.count() == corpus.count()
+    assert res.select("doc_id").distinct().count() == corpus.count()
+    reasons = {r["reason"] for r in res.select("reason").distinct().collect()}
+    assert reasons <= {"ok", "lang", "quality", "exact_dup", "near_dup"}

@@ -136,6 +136,32 @@ def main(argv=None):
     sm.add_argument("--salt", default=None,
                     help="hash salt (default: 'temp' / 'sample' per mode)")
 
+    cu = sub.add_parser(
+        "curate",
+        help="composed curation verdict: lang → quality → exact-dup → "
+             "near-dup gates, per-doc keep/reason (first failing gate) — "
+             "writes (doc_id, keep, reason) and prints per-reason counts")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--langs", default="en",
+                    help="comma-separated accepted pred_lang values")
+    cu.add_argument("--quality-min", type=float, default=0.45)
+    cu.add_argument("--near-threshold", type=float, default=0.5)
+    cu.add_argument("--doc-col", default="doc_id")
+    cu.add_argument("--content-col", default="content")
+
+    sc = sub.add_parser(
+        "score",
+        help="per-document text scores: quality heuristic, unigram-LM "
+             "perplexity, language ID, or token stats — map-only "
+             "(lm trains the unigram model from the input corpus itself)")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--mode", default="quality",
+                    choices=["quality", "lm", "lang", "tokens"])
+    sc.add_argument("--doc-col", default="doc_id")
+    sc.add_argument("--content-col", default="content")
+
     pf = sub.add_parser(
         "profile",
         help="one-row corpus statistics report (doc-length/df percentiles) "
@@ -398,6 +424,41 @@ def main(argv=None):
                                     salt=args.salt or "sample")
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote sampled table to {args.output}")
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from invertedfiles_jl_spark.operators.curation import curate
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        res = curate(data, langs=tuple(args.langs.split(",")),
+                     quality_min=args.quality_min,
+                     near_threshold=args.near_threshold,
+                     doc_col=args.doc_col, content_col=args.content_col)
+        res.write.mode("overwrite").parquet(args.output)
+        counts = {r["reason"]: r["n"] for r in
+                  spark.read.parquet(args.output).groupBy("reason")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(f"curated to {args.output}: {counts}")
+        return 0
+
+    if args.cmd == "score":
+        from invertedfiles_jl_spark.functions.text import (
+            lang_id,
+            lm_perplexity,
+            quality_score,
+            token_stats,
+        )
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        fn = {"quality": quality_score, "lm": lm_perplexity,
+              "lang": lang_id, "tokens": token_stats}[args.mode]
+        res = fn(data, doc_col=args.doc_col, content_col=args.content_col)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.mode} scores to {args.output}")
         return 0
 
     if args.cmd == "profile":

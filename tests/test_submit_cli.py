@@ -480,3 +480,25 @@ def test_cli_trigram_substring_and_rerank(spark, corpus_path, tmp_path,
     want_r = {(r["query_id"], r["rank"]): r["doc_id"]
               for r in mmr_rerank(emb, vq, k=5, depth=15, lam=0.7).collect()}
     assert got_r == want_r and got_r
+
+
+def test_cli_curate_and_score(spark, corpus_path, tmp_path):
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    out = str(tmp_path / "curate_res")
+    assert submit_main.main(["curate", "--input", corpus_path,
+                             "--output", out, "--langs", "en",
+                             "--quality-min", "0.45"]) == 0
+    corpus = spark.read.parquet(corpus_path)
+    got = {r.doc_id: (r.keep, r.reason)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: (r.keep, r.reason) for r in curate(corpus).collect()}
+    assert got == want
+
+    sout = str(tmp_path / "lm_res")
+    assert submit_main.main(["score", "--input", corpus_path,
+                             "--output", sout, "--mode", "lm"]) == 0
+    got_lm = {r.doc_id: r.ppl for r in spark.read.parquet(sout).collect()}
+    want_lm = {r.doc_id: r.ppl for r in lm_perplexity(corpus).collect()}
+    assert got_lm == want_lm

@@ -1900,6 +1900,19 @@ def _q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-scoring — the
+    codebook-compression scale path (m·log2(ksub) bits/vector; candidates
+    scored from the broadcast lookup table, never the vectors)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    res = pq_topk(emb, _equeries(emb), k=10, m=8, ksub=16, depth=50)
+    return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style one-pass dense dedup over the IVF-cluster near-dup
     pair relation (threshold 0.4 — see _q_emb_near_dups for why 0.8 would
@@ -3537,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "ann_sq8": _q_ann_sq8,
+        "ann_pq": _q_ann_pq,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "curation_verdict": _q_curate,
@@ -3654,6 +3668,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_bruteforce": _osql.ann_bruteforce_sql(),
         "ann_ivf": _osql.ann_ivf_sql(),
         "ann_sq8": _osql.ann_sq8_sql(),
+        "ann_pq": _osql.pq_topk_sql(k=10, m=8, ksub=16, depth=50),
         "semantic_dedup": _osql.semantic_dedup_sql(threshold=0.4, n_clusters=8),
         "lm_perplexity": _osql.lm_perplexity_sql(),
         "curation_verdict": _osql.curate_sql(

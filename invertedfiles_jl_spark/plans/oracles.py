@@ -1234,3 +1234,91 @@ r AS (
 )
 SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """
+
+
+_L2 = ("(SELECT sum((a - b) * (a - b)) "
+       "FROM (SELECT unnest({x}) a, unnest({y}) b))")
+
+
+def pq_topk_sql(k: int = 10, m: int = 8, ksub: int = 16, depth: int = 50,
+                n_queries: int = 5, dim: int = 64,
+                lloyd_iters: int = 1) -> str:
+    """Mirrors ``operators.ann.pq_topk``: per-subspace codebooks (first-k
+    seeds + one L2-Lloyd step), squared-L2 code assignment (argmin at
+    round 9, tie cluster asc), ADC lookup-table scoring (sum of per-
+    subspace dots), top-``depth`` cut at round(adot, 6), exact cosine
+    re-score, final rank at round(cos, 6)."""
+    assert lloyd_iters == 1, "oracle mirrors exactly one Lloyd step"
+    assert dim % m == 0
+    sub_len = dim // m
+    sub_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, {mi} AS m, "
+        f"list_transform(embedding[{mi * sub_len + 1}:{(mi + 1) * sub_len}], "
+        "x -> CAST(x AS DOUBLE)) AS sub FROM embeddings"
+        for mi in range(m)
+    )
+    l2 = _L2.format(x="s.sub", y="c.c_sub")
+    return f"""
+WITH subs AS (
+{sub_rows}
+),
+seeds AS (SELECT m, id AS cluster, sub AS c_sub FROM subs WHERE id < {ksub}),
+a0 AS (
+  SELECT id, m, cluster FROM (
+    SELECT s.id, s.m, c.cluster,
+           row_number() OVER (PARTITION BY s.id, s.m
+                ORDER BY round({l2}, 9) ASC, c.cluster ASC) AS r
+    FROM subs s JOIN seeds c ON c.m = s.m
+  ) WHERE r = 1
+),
+cents AS (
+  SELECT m, cluster, list(mu ORDER BY pos) AS c_sub FROM (
+    SELECT a0.m, a0.cluster, pos, avg(s.sub[pos]) AS mu
+    FROM a0 JOIN subs s ON s.id = a0.id AND s.m = a0.m,
+         LATERAL (SELECT unnest(generate_series(1, len(s.sub))) AS pos)
+    GROUP BY a0.m, a0.cluster, pos
+  ) GROUP BY m, cluster
+),
+codes AS (
+  SELECT id AS vec_id, m, cluster AS code FROM (
+    SELECT s.id, s.m, c.cluster,
+           row_number() OVER (PARTITION BY s.id, s.m
+                ORDER BY round({l2}, 9) ASC, c.cluster ASC) AS r
+    FROM subs s JOIN cents c ON c.m = s.m
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT s.id AS query_id, s.m, c.cluster AS code,
+         {_DOT.format(x='s.sub', y='c.c_sub')} AS part
+  FROM subs s JOIN cents c ON c.m = s.m
+  WHERE s.id < {n_queries}
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id, sum(l.part) AS adot
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY l.query_id, cd.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(adot, 6) DESC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {depth}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, {_cos('q.q_emb', 'e.embedding')} AS cos
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
+"""

@@ -481,14 +481,19 @@ def test_sq8_semantic_lm_plans_no_smj(spark, documents):
     from pyspark.sql import functions as F
 
     from invertedfiles_jl_spark.functions.text import lm_perplexity
-    from invertedfiles_jl_spark.operators.ann import semantic_dedup, sq8_topk
+    from invertedfiles_jl_spark.operators.ann import (
+        pq_topk,
+        semantic_dedup,
+        sq8_topk,
+    )
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     corpus = documents.select("doc_id", F.col("text").alias("content"))
-    for df in [sq8_topk(emb, q, k=5, depth=20), lm_perplexity(corpus)]:
+    for df in [sq8_topk(emb, q, k=5, depth=20), lm_perplexity(corpus),
+               pq_topk(emb, q, k=5, m=8, ksub=16, depth=20)]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
     sem = semantic_dedup(emb, threshold=0.4, n_clusters=8)

@@ -476,3 +476,56 @@ def test_lm_perplexity_orders_fluency(spark):
         assert got[doc_id]["n_tokens"] == len(ws)
     assert got[2]["ppl"] > got[0]["ppl"]
     assert got[2]["ppl"] > got[1]["ppl"]
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_compact(emb, spark):
+    from invertedfiles_jl_spark.operators.ann import pq_codes, pq_train
+
+    m, ksub = 8, 16
+    dim = len(emb.first()["embedding"])
+    cents = pq_train(emb, m=m, ksub=ksub)
+    rows = pq_codes(emb, cents, m, dim // m).collect()
+    assert len(rows) == emb.count() * m
+    assert all(0 <= r["code"] < ksub for r in rows)
+    assert all(0 <= r["m"] < m for r in rows)
+
+
+def test_pq_recall_vs_brute_force(emb):
+    """ADC + exact rescore keeps useful recall even on near-orthogonal
+    vectors (the hardest case for codebook compression)."""
+    from invertedfiles_jl_spark.operators.ann import pq_topk
+
+    gold = {}
+    for r in brute_force_topk(emb, _queries(emb), k=10).collect():
+        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in pq_topk(emb, _queries(emb), k=10, m=8, ksub=16, depth=50).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_exact_on_prototype_vocabulary(spark):
+    """When every subvector is one of the ksub codebook entries the decode
+    is lossless → ADC ordering equals the true dot ordering and PQ matches
+    brute force exactly."""
+    import numpy as np
+
+    from invertedfiles_jl_spark.operators.ann import pq_topk
+
+    rng = np.random.RandomState(3)
+    protos = rng.rand(8, 16) + 0.1          # 8 prototypes, dim 16
+    # first 8 vectors = the 8 distinct prototypes (the deterministic seeds)
+    assign = list(range(8)) + [int(x) for x in rng.randint(0, 8, 32)]
+    rows = [(i, [float(x) for x in protos[p]]) for i, p in enumerate(assign)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb2.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    exact = brute_force_topk(emb2, q, k=5)
+    approx = pq_topk(emb2, q, k=5, m=4, ksub=8, depth=40)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))

@@ -136,6 +136,28 @@ def main(argv=None):
     sm.add_argument("--salt", default=None,
                     help="hash salt (default: 'temp' / 'sample' per mode)")
 
+    dn = sub.add_parser(
+        "dense",
+        help="dense (embedding) top-k search: brute-force cosine, IVF "
+             "probe, SQ8 int8 quantized, or PQ-ADC — approximate methods "
+             "re-score exactly before ranking")
+    dn.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id long, embedding array<float>)")
+    dn.add_argument("--queries", required=True,
+                    help="parquet with (query_id long, q_emb array<float>)")
+    dn.add_argument("--output", required=True)
+    dn.add_argument("--method", default="brute",
+                    choices=["brute", "ivf", "sq8", "pq"])
+    dn.add_argument("--k", type=int, default=10)
+    dn.add_argument("--depth", type=int, default=50,
+                    help="candidate depth before exact re-score (sq8/pq)")
+    dn.add_argument("--n-clusters", type=int, default=16)
+    dn.add_argument("--nprobe", type=int, default=4)
+    dn.add_argument("--pq-m", type=int, default=8)
+    dn.add_argument("--pq-ksub", type=int, default=16)
+    dn.add_argument("--include-self", action="store_true",
+                    help="keep vec_id == query_id matches (default: excluded)")
+
     cu = sub.add_parser(
         "curate",
         help="composed curation verdict: lang → quality → exact-dup → "
@@ -424,6 +446,34 @@ def main(argv=None):
                                     salt=args.salt or "sample")
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote sampled table to {args.output}")
+        return 0
+
+    if args.cmd == "dense":
+        from invertedfiles_jl_spark.operators.ann import (
+            brute_force_topk,
+            ivf_topk,
+            pq_topk,
+            sq8_topk,
+        )
+
+        emb = (spark.read.table(args.embeddings) if "/" not in args.embeddings
+               else spark.read.parquet(args.embeddings))
+        qs = (spark.read.table(args.queries) if "/" not in args.queries
+              else spark.read.parquet(args.queries))
+        ex = not args.include_self
+        if args.method == "brute":
+            res = brute_force_topk(emb, qs, k=args.k, exclude_self=ex)
+        elif args.method == "ivf":
+            res = ivf_topk(emb, qs, k=args.k, n_clusters=args.n_clusters,
+                           nprobe=args.nprobe, exclude_self=ex)
+        elif args.method == "sq8":
+            res = sq8_topk(emb, qs, k=args.k, depth=args.depth,
+                           exclude_self=ex)
+        else:
+            res = pq_topk(emb, qs, k=args.k, m=args.pq_m, ksub=args.pq_ksub,
+                          depth=args.depth, exclude_self=ex)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.method} dense top-{args.k} to {args.output}")
         return 0
 
     if args.cmd == "curate":

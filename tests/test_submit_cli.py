@@ -502,3 +502,40 @@ def test_cli_curate_and_score(spark, corpus_path, tmp_path):
     got_lm = {r.doc_id: r.ppl for r in spark.read.parquet(sout).collect()}
     want_lm = {r.doc_id: r.ppl for r in lm_perplexity(corpus).collect()}
     assert got_lm == want_lm
+
+
+def test_cli_dense_methods(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import brute_force_topk, sq8_topk
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    qpath = str(tmp_path / "vq")
+    emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb")).write.parquet(qpath)
+
+    bout = str(tmp_path / "dense_brute")
+    assert submit_main.main(["dense", "--embeddings", emb_path,
+                             "--queries", qpath, "--output", bout,
+                             "--method", "brute", "--k", "5"]) == 0
+    got = sorted(map(tuple, spark.read.parquet(bout).collect()))
+    q = spark.read.parquet(qpath)
+    want = sorted(map(tuple, brute_force_topk(emb, q, k=5).collect()))
+    assert got == want
+
+    sout = str(tmp_path / "dense_sq8")
+    assert submit_main.main(["dense", "--embeddings", emb_path,
+                             "--queries", qpath, "--output", sout,
+                             "--method", "sq8", "--k", "5",
+                             "--depth", "30"]) == 0
+    got = sorted(map(tuple, spark.read.parquet(sout).collect()))
+    want = sorted(map(tuple, sq8_topk(emb, q, k=5, depth=30).collect()))
+    assert got == want
+
+    pout = str(tmp_path / "dense_pq")
+    assert submit_main.main(["dense", "--embeddings", emb_path,
+                             "--queries", qpath, "--output", pout,
+                             "--method", "pq", "--k", "5"]) == 0
+    assert spark.read.parquet(pout).count() == 15

@@ -1877,6 +1877,54 @@ def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_clusters=8, n_bands=None)
 
 
+def _q_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving seam: BM25 top-50 candidates re-ranked by the
+    deterministic cross-encoder stub (the production scorer hook is
+    pytest-gated with a fake model; this row pins the plumbing — candidate
+    cut, pair assembly, rank contract — against the oracle)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.rerank import crossencoder_rerank
+
+    idx = _index(spark, sf_dir, "bm25")
+    res = crossencoder_rerank(idx, _corpus(spark, sf_dir), queries_df(spark),
+                              k=10, depth=50)
+    return res.select("query_id", "rank", "doc_id",
+                      F.round("ce_score", 6).alias("ce_score"),
+                      F.round("bm25_score", 5).alias("bm25_score"))
+
+
+def _ce_rerank_sql(k: int = 10, depth: int = 50) -> str:
+    """Oracle for the cross-encoder rerank plumbing: candidates = the
+    standard BM25 CTE at depth, stub score = the md5-ascii arithmetic of
+    ``rerank.ce_stub_score`` (identical in both engines), re-rank on
+    (round(ce, 6) desc, doc_id asc)."""
+    ce = ("(ascii(substr(h, 1, 1)) * 65536 + ascii(substr(h, 2, 1)) * 256 "
+          "+ ascii(substr(h, 3, 1))) / 16777215.0")
+    return f"""
+WITH cands AS (
+  SELECT query_id, doc_id, score AS bm25_score FROM ({_bm25_sql(k=depth)})
+),
+p AS (
+  SELECT c.query_id, c.doc_id, c.bm25_score,
+         md5(q.content || chr(1) || d.text) AS h
+  FROM cands c
+  JOIN documents d ON d.doc_id = c.doc_id
+  JOIN {queries_values_sql()} ON q.query_id = c.query_id
+),
+scored AS (SELECT query_id, doc_id, bm25_score, {ce} AS ce_score FROM p),
+ranked AS (
+  SELECT query_id, doc_id, ce_score, bm25_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(ce_score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(ce_score, 6) AS ce_score,
+       round(bm25_score, 5) AS bm25_score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation verdict: lang → quality → exact-dup → near-dup,
     each doc labeled keep/reason (first failing gate).  One row gates the
@@ -3554,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "curation_verdict": _q_curate,
+        "ce_rerank_topk": _q_ce_rerank,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
@@ -3673,6 +3722,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "lm_perplexity": _osql.lm_perplexity_sql(),
         "curation_verdict": _osql.curate_sql(
             langs=("en",), quality_min=0.45, near_threshold=0.5),
+        "ce_rerank_topk": _ce_rerank_sql(k=10, depth=50),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "mmr_rerank": _mmr_sql(),

@@ -132,3 +132,85 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 5,
         .cogroup(pairs.groupBy("query_id"))
         .applyInPandas(_mmr_kernel(k, lam, rank_round), _OUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder re-ranking seam (two-stage retrieve → pairwise re-score)
+# ---------------------------------------------------------------------------
+
+
+def ce_stub_score(q_col: str = "q_content", d_col: str = "doc_content"):
+    """Deterministic stand-in for a learned cross-encoder: a pseudo-score
+    in [0, 1] from ``ascii`` arithmetic over the md5 of the concatenated
+    (query, doc) text — the same engine-portable hash trick as
+    ``multimodal._stub_features``, so the DuckDB oracle mirrors it token
+    for token.  Real deployments replace this with a model via the
+    ``scorer=`` hook of :func:`crossencoder_rerank`; the stub keeps the
+    PLUMBING (candidate cut, pair assembly, batch shape, rank contract)
+    driver-gated."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.col(q_col), F.lit("\x01"), F.col(d_col)))
+    v = (F.ascii(F.substring(h, 1, 1)) * 65536
+         + F.ascii(F.substring(h, 2, 1)) * 256
+         + F.ascii(F.substring(h, 3, 1)))
+    return v / F.lit(16777215.0)
+
+
+def crossencoder_rerank(index, corpus, queries, k: int = 10, depth: int = 50,
+                        scorer=None, rank_round: int = 6,
+                        doc_col: str = "doc_id",
+                        content_col: str = "content"):
+    """Two-stage serving: BM25 retrieves ``depth`` candidates per query,
+    a pairwise (query text × doc text) scorer re-ranks them, top ``k``
+    emitted as (query_id, rank, doc_id, ce_score, bm25_score).
+
+    ``scorer=None`` uses the deterministic stub (oracle-gated end to end).
+    ``scorer=fn`` runs ``fn(pdf) -> pd.Series`` inside ``mapInPandas`` over
+    Arrow batches of (query_id, doc_id, bm25_score, q_content,
+    doc_content) — the exact seam a torch/ONNX cross-encoder occupies in
+    production (pytest-gated with a fake model).
+
+    Scale shape: the candidate relation is Q·depth rows and BROADCASTS
+    against the corpus to fetch doc text (column-pruned scan: id + content
+    only); the scorer touches Q·depth pairs, never the corpus; the final
+    rank is a window over Q·depth rows.  The expensive model is therefore
+    bounded by serving depth — the standard two-stage economics.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+
+    # rank_round=6 pins the depth cut to the same boundary the DuckDB
+    # oracle's candidate CTE uses (round(score, 6) desc, doc_id asc)
+    cands = bm25_topk(index, queries, k=depth, rank_round=6).select(
+        "query_id", "doc_id", F.col("score").alias("bm25_score"))
+    pairs = (
+        corpus.select(F.col(doc_col).alias("doc_id"),
+                      F.col(content_col).alias("doc_content"))
+        .join(F.broadcast(cands), "doc_id")
+        .join(F.broadcast(queries.select(
+            "query_id", F.col("content").alias("q_content"))), "query_id")
+    )
+    if scorer is None:
+        scored = pairs.withColumn("ce_score", ce_stub_score()).select(
+            "query_id", "doc_id", "bm25_score", "ce_score")
+    else:
+        import pandas as pd  # noqa: F401 — mapInPandas contract
+
+        def fn(batches):
+            for pdf in batches:
+                out = pdf[["query_id", "doc_id", "bm25_score"]].copy()
+                out["ce_score"] = scorer(pdf).astype("float64").to_numpy()
+                yield out
+
+        scored = pairs.mapInPandas(
+            fn, "query_id long, doc_id long, bm25_score double, ce_score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("ce_score"), rank_round).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "ce_score", "bm25_score")
+    )

@@ -112,3 +112,71 @@ def test_mmr_penalizes_redundancy(spark):
     assert got[0] == 0          # self
     assert got[1] == 1          # most relevant non-self
     assert got[2] == 3          # diversity displaces the near-dup (2)
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder rerank seam
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ce_index(documents, spark):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.config import IndexConfig
+    from invertedfiles_jl_spark.operators.build import build_index
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    return build_index(corpus, IndexConfig(weight_dtype="double")), corpus
+
+
+def test_ce_rerank_stub_reorders_within_candidates(ce_index, spark):
+    """Stub-ranked top-k is a subset of the BM25 top-depth candidate set
+    for the same query, ordered by the stub key."""
+    from invertedfiles_jl_spark.operators.rerank import crossencoder_rerank
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    idx, corpus = ce_index
+    q = queries_df(spark)
+    res = crossencoder_rerank(idx, corpus, q, k=5, depth=20)
+    cands: dict = {}
+    for r in bm25_topk(idx, q, k=20, rank_round=6).collect():
+        cands.setdefault(r["query_id"], set()).add(r["doc_id"])
+    per: dict = {}
+    for r in res.collect():
+        per.setdefault(r["query_id"], []).append(r)
+        assert r["doc_id"] in cands[r["query_id"]]
+        assert 0.0 <= r["ce_score"] <= 1.0
+    for qid, rows in per.items():
+        rows.sort(key=lambda r: r["rank"])
+        keys = [(round(r["ce_score"], 6), -r["doc_id"]) for r in rows]
+        assert keys == sorted(keys, reverse=True), qid
+
+
+def test_ce_rerank_custom_scorer_hook(ce_index, spark):
+    """The mapInPandas scorer hook drives the ranking: a fake model scoring
+    by doc-text length must produce exactly the longest-doc-first order
+    within each query's candidate set."""
+    from invertedfiles_jl_spark.operators.rerank import crossencoder_rerank
+    from invertedfiles_jl_spark.operators.search import bm25_topk
+    from invertedfiles_jl_spark.sources.queries import queries_df
+
+    idx, corpus = ce_index
+    q = queries_df(spark)
+
+    def fake_model(pdf):
+        return pdf["doc_content"].str.len() / 10000.0
+
+    res = crossencoder_rerank(idx, corpus, q, k=5, depth=20,
+                              scorer=fake_model)
+    lens = {r["doc_id"]: len(r["content"]) for r in corpus.collect()}
+    cands: dict = {}
+    for r in bm25_topk(idx, q, k=20, rank_round=6).collect():
+        cands.setdefault(r["query_id"], []).append(r["doc_id"])
+    got: dict = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, docs in cands.items():
+        want = sorted(docs, key=lambda d: (-round(lens[d] / 10000.0, 6), d))[:5]
+        assert [d for _, d in sorted(got[qid])] == want, qid

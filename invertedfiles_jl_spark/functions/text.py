@@ -236,7 +236,8 @@ def doc_keywords(corpus, cfg=None, n: int = 5, rank_round: int | None = None,
 
 def lm_perplexity(df: DataFrame, cfg: IndexConfig | None = None,
                   doc_col: str = "doc_id", content_col: str = "content",
-                  alpha: float = 0.5, ppl_round: int = 4) -> DataFrame:
+                  alpha: float = 0.5, ppl_round: int = 4,
+                  train_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_tokens, ppl) — corpus-trained unigram-LM perplexity, the
     CCNet-style fluency signal training-data pipelines filter on (docs far
     from the corpus distribution score high).
@@ -254,12 +255,21 @@ def lm_perplexity(df: DataFrame, cfg: IndexConfig | None = None,
     (rare terms then fall into the smoothed floor, which is exactly the
     model's unseen estimate).  ``ppl`` is rounded (default 4 dp) because
     the log-sum's float addition order differs across engines.
+
+    ``train_df`` separates model fitting from scoring — the held-out
+    workflow (fit on the trusted corpus, filter NEW data by how far it
+    sits from that distribution).  Tokens absent from the training counts
+    score the smoothed unseen probability ``α / (N + α·(V+1))``.  Default
+    (None) trains on ``df`` itself.
     """
     cfg = cfg or IndexConfig()
     t = tokens_sql(content_col, cfg)
     occ = df.select(F.col(doc_col).alias("doc_id"),
                     F.explode(F.expr(t)).alias("term"))
-    counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tocc = (occ if train_df is None
+            else train_df.select(F.col(doc_col).alias("doc_id"),
+                                 F.explode(F.expr(t)).alias("term")))
+    counts = tocc.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = counts.agg(F.sum("c").cast("double").alias("n"),
                      F.count(F.lit(1)).cast("double").alias("v"))
     probs = counts.crossJoin(F.broadcast(tot)).select(
@@ -267,9 +277,14 @@ def lm_perplexity(df: DataFrame, cfg: IndexConfig | None = None,
         ((F.col("c") + F.lit(alpha))
          / (F.col("n") + F.lit(alpha) * (F.col("v") + 1.0))).alias("p"),
     )
+    floor = tot.select(
+        (F.lit(alpha) / (F.col("n") + F.lit(alpha) * (F.col("v") + 1.0))
+         ).alias("p_unseen"))
     dt = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     agg = (
-        dt.join(F.broadcast(probs), "term")
+        dt.join(F.broadcast(probs), "term", "left")
+        .crossJoin(F.broadcast(floor))
+        .withColumn("p", F.coalesce(F.col("p"), F.col("p_unseen")))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),

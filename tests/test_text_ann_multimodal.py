@@ -529,3 +529,33 @@ def test_pq_exact_on_prototype_vocabulary(spark):
     exact = brute_force_topk(emb2, q, k=5)
     approx = pq_topk(emb2, q, k=5, m=4, ksub=8, depth=40)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))
+
+
+def test_lm_perplexity_held_out_scoring(spark):
+    """train_df separates fit from scoring: unseen tokens get the smoothed
+    floor α/(N+α(V+1)); a held-out doc of unseen tokens scores the floor's
+    perplexity exactly, and far above in-distribution docs."""
+    import math
+
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+
+    train = spark.createDataFrame(
+        [(0, "the cat the dog"), (1, "the cat runs")],
+        "doc_id long, content string")
+    eval_ = spark.createDataFrame(
+        [(10, "the cat"), (11, "xyzzy plugh")],
+        "doc_id long, content string")
+    got = {r["doc_id"]: r["ppl"]
+           for r in lm_perplexity(eval_, CFG, train_df=train).collect()}
+    toks = "the cat the dog the cat runs".split()
+    n, counts = len(toks), {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    v, a = len(counts), 0.5
+    denom = n + a * (v + 1)
+    floor = a / denom
+    assert abs(got[11] - round(1.0 / floor, 4)) < 1e-9
+    h10 = -(math.log((counts["the"] + a) / denom)
+            + math.log((counts["cat"] + a) / denom)) / 2
+    assert abs(got[10] - round(math.exp(h10), 4)) < 1e-9
+    assert got[11] > got[10]

@@ -174,3 +174,32 @@ def append_positional(positional, new_corpus, cfg=None,
 
     delta = positional_postings(new_corpus, cfg, doc_col, content_col)
     return positional.select(*delta.columns).unionByName(delta)
+
+
+def streaming_exact_dedup(stream_docs: DataFrame, content_col: str = "content",
+                          time_col: str | None = None,
+                          watermark: str | None = None) -> DataFrame:
+    """First-writer-wins exact dedup over a document stream: only docs whose
+    content sha256 has never been seen pass through — the ingestion-side
+    twin of ``dedup.exact_duplicates`` (which adjudicates a static corpus
+    by keep-min id; a stream has no global min, so the arrival order IS the
+    policy).  Composes in front of :func:`stream_append` so an at-least-
+    once upstream (re-delivered files, crawler refetches) cannot violate
+    the merge contract's each-doc-once requirement.
+
+    State = one row per distinct content hash, managed by Spark's
+    streaming-dedup operator (partial aggregation + state store — no
+    driver-side set).  Unbounded by default; pass ``time_col`` +
+    ``watermark`` (e.g. "1 hour") to bound state via
+    ``dropDuplicatesWithinWatermark`` when re-deliveries are known to
+    arrive within a window — the standard 100-TB knob, since an unbounded
+    seen-set over an infinite stream grows forever by definition.
+    """
+    df = stream_docs.withColumn(
+        "__h", F.sha2(F.col(content_col).cast("binary"), 256))
+    if time_col is not None and watermark is not None:
+        df = df.withWatermark(time_col, watermark) \
+               .dropDuplicatesWithinWatermark(["__h"])
+    else:
+        df = df.dropDuplicates(["__h"])
+    return df.drop("__h")

@@ -232,3 +232,30 @@ def test_streaming_qstring_percolation(spark, documents, tmp_path):
             idx, standing, base,
             qualifier_fields=("lang", "source")).collect())
     assert sorted(got) == want and len(want) > 0
+
+
+def test_streaming_exact_dedup_first_writer_wins(spark, tmp_path):
+    """Duplicated contents across the stream collapse to ONE emitted doc
+    each (state = seen sha256), distinct contents all pass; composing in
+    front of stream_append keeps the merge contract's each-doc-once rule
+    under at-least-once delivery."""
+    from invertedfiles_jl_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    rows = [(i, f"doc body {i % 6}") for i in range(18)]  # 6 distinct, 3× each
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "doc_id long, content string").write.mode(
+        "overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, content string").parquet(src)
+    out = streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_sink").collect()
+    assert len(got) == 6
+    assert {r["content"] for r in got} == {f"doc body {i}" for i in range(6)}
+    # schema passes through unchanged (helper column dropped)
+    assert sorted(got[0].asDict()) == ["content", "doc_id"]

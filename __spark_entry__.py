@@ -1961,6 +1961,20 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ composition: coarse probe prune × PQ-ADC code
+    scoring × exact rescore — the 10^12-vector serving shape, gated
+    end-to-end."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    res = ivf_pq_topk(emb, _equeries(emb), k=10, n_clusters=16, nprobe=4,
+                      m=8, ksub=16, depth=50)
+    return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style one-pass dense dedup over the IVF-cluster near-dup
     pair relation (threshold 0.4 — see _q_emb_near_dups for why 0.8 would
@@ -3599,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_sq8": _q_ann_sq8,
         "ann_pq": _q_ann_pq,
+        "ann_ivf_pq": _q_ann_ivf_pq,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "curation_verdict": _q_curate,
@@ -3718,6 +3733,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_ivf": _osql.ann_ivf_sql(),
         "ann_sq8": _osql.ann_sq8_sql(),
         "ann_pq": _osql.pq_topk_sql(k=10, m=8, ksub=16, depth=50),
+        "ann_ivf_pq": _osql.ivf_pq_topk_sql(
+            k=10, n_clusters=16, nprobe=4, m=8, ksub=16, depth=50),
         "semantic_dedup": _osql.semantic_dedup_sql(threshold=0.4, n_clusters=8),
         "lm_perplexity": _osql.lm_perplexity_sql(),
         "curation_verdict": _osql.curate_sql(

@@ -543,3 +543,72 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10, m: int = 8,
     return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cos"))
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                n_clusters: int = 16, nprobe: int = 4, m: int = 8,
+                ksub: int = 16, depth: int = 50, lloyd_iters: int = 1,
+                exclude_self: bool = True, rank_round: int = 6) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition — coarse IVF probe prunes the
+    candidate set to ~``nprobe/n_clusters`` of the corpus, PQ-ADC ranks the
+    survivors from codes alone, the top ``depth`` re-score exactly.
+
+    Scale shape: multiplies the two prunes — the ADC pass touches only
+    in-probe (vec_id, m, code) rows (a broadcast semi-join of the probe
+    list against the codes), so per-query work is
+    O(nprobe/n_clusters · n · m) table lookups and the full-precision scan
+    stays bounded at ``depth`` rows.  This is the shape a 10^12-vector
+    serving tier actually runs; both stages reuse the already-oracle-gated
+    building blocks (``assign_clusters``/``pq_train``) so the composition
+    is deterministic end to end.
+    """
+    first = emb.select(F.size("embedding").alias("d")).first()
+    d = int(first["d"]) if first is not None else 0
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_len = d // m
+    # coarse stage: cluster assignment + per-query probe list (same plan
+    # as ivf_topk)
+    cents = lloyd_refine(emb, seed_centroids(emb, n_clusters), lloyd_iters)
+    assign = assign_to(emb, cents)
+    qprobe = with_cosine(
+        queries.select("query_id", "q_emb").crossJoin(F.broadcast(cents)),
+        "q_emb", "c_emb")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("cluster").asc())
+    probed = (qprobe.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe).select("query_id", "cluster"))
+    # fine stage: ADC over in-probe codes only.  Routing goes through the
+    # Q·nprobe probe list broadcast on CLUSTER (bounded), never through a
+    # materialized per-query candidate list (that relation is
+    # corpus-proportional — broadcasting it would be the scale bug);
+    # codes ⋈ assign is corpus-keyed and co-partitionable on vec_id.
+    pq_cents = pq_train(emb, m, ksub, lloyd_iters)
+    codes = pq_codes(emb, pq_cents, m, sub_len)
+    qsubs = _sub_rows(queries, "q_emb", "query_id", m, sub_len)
+    lut = (qsubs.join(F.broadcast(pq_cents), "m")
+           .select(F.col("id").alias("query_id"), "m",
+                   F.col("cluster").alias("code"),
+                   F.expr("aggregate(zip_with(sub, c_sub, (x, y) -> x * y), "
+                          "0D, (acc, v) -> acc + v)").alias("part")))
+    adc = (codes.join(assign, "vec_id")
+           .join(F.broadcast(probed), "cluster")
+           .join(F.broadcast(lut), ["query_id", "m", "code"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("part").alias("adot")))
+    if exclude_self:
+        adc = adc.filter(F.col("vec_id") != F.col("query_id"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adot"), 6).desc(), F.col("vec_id").asc())
+    cand = (adc.withColumn("r", F.row_number().over(wa))
+            .filter(F.col("r") <= depth).select("query_id", "vec_id"))
+    rescored = with_cosine(
+        emb.select("vec_id", F.col("embedding").alias("d_emb"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "q_emb")), "query_id")
+    ).select("query_id", "vec_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), rank_round).desc(), F.col("vec_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos"))

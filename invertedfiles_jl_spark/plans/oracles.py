@@ -1322,3 +1322,133 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_pq_topk_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                    m: int = 8, ksub: int = 16, depth: int = 50,
+                    n_queries: int = 5, dim: int = 64) -> str:
+    """Mirrors ``operators.ann.ivf_pq_topk``: the coarse stage is exactly
+    the ``ann_ivf_sql`` assignment chain (first-n seeds + one Lloyd step,
+    probe = top-nprobe centroids per query), the fine stage exactly the
+    ``pq_topk_sql`` codebook/ADC chain restricted to in-probe vectors,
+    then the shared exact-rescore tail."""
+    assert dim % m == 0
+    sub_len = dim // m
+    sub_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, {mi} AS m, "
+        f"list_transform(embedding[{mi * sub_len + 1}:{(mi + 1) * sub_len}], "
+        "x -> CAST(x AS DOUBLE)) AS sub FROM embeddings"
+        for mi in range(m)
+    )
+    l2 = _L2.format(x="s.sub", y="c.c_sub")
+    return f"""
+WITH iseed AS (
+  SELECT vec_id AS cluster, embedding AS c_emb FROM embeddings WHERE vec_id < {n_clusters}
+),
+i0_scored AS (
+  SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN iseed c
+),
+i0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM i0_scored
+  ) WHERE r = 1
+),
+icents AS (
+  SELECT cluster, list(mu ORDER BY pos) AS c_emb FROM (
+    SELECT a.cluster, pos, avg(CAST(e.embedding[pos] AS DOUBLE)) AS mu
+    FROM i0 a JOIN embeddings e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS pos)
+    GROUP BY a.cluster, pos
+  ) GROUP BY cluster
+),
+iassign_scored AS (
+  SELECT e.vec_id, c.cluster, {_cos('c.c_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN icents c
+),
+iassign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM iassign_scored
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+iprobe_scored AS (
+  SELECT q.query_id, c.cluster, {_cos('q.q_emb', 'c.c_emb')} AS cos
+  FROM q CROSS JOIN icents c
+),
+iprobed AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cluster ASC) AS r
+    FROM iprobe_scored
+  ) WHERE r <= {nprobe}
+),
+subs AS (
+{sub_rows}
+),
+seeds AS (SELECT m, id AS cluster, sub AS c_sub FROM subs WHERE id < {ksub}),
+a0 AS (
+  SELECT id, m, cluster FROM (
+    SELECT s.id, s.m, c.cluster,
+           row_number() OVER (PARTITION BY s.id, s.m
+                ORDER BY round({l2}, 9) ASC, c.cluster ASC) AS r
+    FROM subs s JOIN seeds c ON c.m = s.m
+  ) WHERE r = 1
+),
+cents AS (
+  SELECT m, cluster, list(mu ORDER BY pos) AS c_sub FROM (
+    SELECT a0.m, a0.cluster, pos, avg(s.sub[pos]) AS mu
+    FROM a0 JOIN subs s ON s.id = a0.id AND s.m = a0.m,
+         LATERAL (SELECT unnest(generate_series(1, len(s.sub))) AS pos)
+    GROUP BY a0.m, a0.cluster, pos
+  ) GROUP BY m, cluster
+),
+codes AS (
+  SELECT id AS vec_id, m, cluster AS code FROM (
+    SELECT s.id, s.m, c.cluster,
+           row_number() OVER (PARTITION BY s.id, s.m
+                ORDER BY round({l2}, 9) ASC, c.cluster ASC) AS r
+    FROM subs s JOIN cents c ON c.m = s.m
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT s.id AS query_id, s.m, c.cluster AS code,
+         {_DOT.format(x='s.sub', y='c.c_sub')} AS part
+  FROM subs s JOIN cents c ON c.m = s.m
+  WHERE s.id < {n_queries}
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id, sum(l.part) AS adot
+  FROM codes cd
+  JOIN iassign ia ON ia.vec_id = cd.vec_id
+  JOIN iprobed p ON p.cluster = ia.cluster
+  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY l.query_id, cd.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(adot, 6) DESC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {depth}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, {_cos('q.q_emb', 'e.embedding')} AS cos
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(cos, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
+"""

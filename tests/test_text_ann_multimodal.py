@@ -559,3 +559,31 @@ def test_lm_perplexity_held_out_scoring(spark):
             + math.log((counts["cat"] + a) / denom)) / 2
     assert abs(got[10] - round(math.exp(h10), 4)) < 1e-9
     assert got[11] > got[10]
+
+
+def test_ivf_pq_candidates_subset_of_probe(emb, spark):
+    """IVF-PQ results lie inside the probed clusters (the coarse prune is
+    real) and carry exact cosines for the emitted rows."""
+    import numpy as np
+
+    from invertedfiles_jl_spark.operators.ann import (
+        assign_to, ivf_pq_topk, lloyd_refine, seed_centroids, with_cosine)
+
+    res = ivf_pq_topk(emb, _queries(emb), k=10, n_clusters=16, nprobe=4,
+                      m=8, ksub=16, depth=50)
+    rows = res.collect()
+    assert rows and all(r["rank"] >= 1 for r in rows)
+    cents = lloyd_refine(emb, seed_centroids(emb, 16), 1)
+    assign = {r["vec_id"]: r["cluster"]
+              for r in assign_to(emb, cents).collect()}
+    qp = with_cosine(
+        _queries(emb).crossJoin(F.broadcast(cents)), "q_emb", "c_emb"
+    ).collect()
+    probes: dict = {}
+    for r in qp:
+        probes.setdefault(r["query_id"], []).append(
+            (round(r["cos"], 9), -r["cluster"]))
+    probed = {q: {-c for _, c in sorted(v, reverse=True)[:4]}
+              for q, v in probes.items()}
+    for r in rows:
+        assert assign[r["vec_id"]] in probed[r["query_id"]], r

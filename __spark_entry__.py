@@ -1975,6 +1975,42 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("cos", 5).alias("cos"))
 
 
+def _q_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recallscore of the SQ8 quantized path vs brute force — the
+    reference's recall-validation loop (test/invfiles.jl:23) applied to
+    the engine's own approximate dense path, driver-gated so a quantizer
+    regression shows up as a value change, not just a pytest failure."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.ann import brute_force_topk, sq8_topk
+    from invertedfiles_jl_spark.operators.exhaustive import recallscore
+
+    emb = _emb(spark, sf_dir)
+    q = _equeries(emb)
+    gold = brute_force_topk(emb, q, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"))
+    res = sq8_topk(emb, q, k=10, depth=50).select(
+        "query_id", F.col("vec_id").alias("doc_id"))
+    return recallscore(gold, res).select(
+        "query_id", F.round("recall", 6).alias("recall"))
+
+
+def _recall_sq8_sql() -> str:
+    return f"""
+WITH g AS (SELECT query_id, vec_id FROM ({_osql.ann_bruteforce_sql()})),
+r AS (SELECT query_id, vec_id FROM ({_osql.ann_sq8_sql()})),
+gs AS (SELECT query_id, count(*) AS gsize FROM g GROUP BY query_id),
+h AS (
+  SELECT g.query_id, count(*) AS hits
+  FROM g JOIN r ON r.query_id = g.query_id AND r.vec_id = g.vec_id
+  GROUP BY g.query_id
+)
+SELECT gs.query_id,
+       round(coalesce(h.hits, 0) / CAST(gs.gsize AS DOUBLE), 6) AS recall
+FROM gs LEFT JOIN h USING (query_id)
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style one-pass dense dedup over the IVF-cluster near-dup
     pair relation (threshold 0.4 — see _q_emb_near_dups for why 0.8 would
@@ -3614,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": _q_ann_sq8,
         "ann_pq": _q_ann_pq,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "recall_sq8_vs_bruteforce": _q_recall_sq8,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "curation_verdict": _q_curate,
@@ -3735,6 +3772,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ann_pq": _osql.pq_topk_sql(k=10, m=8, ksub=16, depth=50),
         "ann_ivf_pq": _osql.ivf_pq_topk_sql(
             k=10, n_clusters=16, nprobe=4, m=8, ksub=16, depth=50),
+        "recall_sq8_vs_bruteforce": _recall_sq8_sql(),
         "semantic_dedup": _osql.semantic_dedup_sql(threshold=0.4, n_clusters=8),
         "lm_perplexity": _osql.lm_perplexity_sql(),
         "curation_verdict": _osql.curate_sql(

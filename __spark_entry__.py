@@ -1925,6 +1925,41 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of the token stream taken
+    by the most frequent word / bigram / trigram per doc."""
+    from invertedfiles_jl_spark.functions.text import repetition_stats
+
+    return repetition_stats(_corpus(spark, sf_dir))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically synthesized PII (the corpus itself
+    contains none — an email + ipv4 is appended per doc IN THE QUERY, in
+    both engines, so the counts and redaction are non-vacuously gated)."""
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.text import scrub_pii
+
+    c = _corpus(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("content"), F.lit(" contact"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("content"),
+    )
+    res = scrub_pii(c)
+    return res.select("doc_id", "n_email", "n_ipv4", "n_hexsecret",
+                      F.md5("redacted").alias("red_md5"))
+
+
+_PII_CONTENT_SQL = ("text || ' contact' || CAST(doc_id AS VARCHAR) "
+                    "|| '@example.com via 10.0.' "
+                    "|| CAST(doc_id % 256 AS VARCHAR) || '.7'")
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation verdict: lang → quality → exact-dup → near-dup,
     each doc labeled keep/reason (first failing gate).  One row gates the
@@ -3655,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "curation_verdict": _q_curate,
         "ce_rerank_topk": _q_ce_rerank,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
@@ -3778,6 +3815,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "curation_verdict": _osql.curate_sql(
             langs=("en",), quality_min=0.45, near_threshold=0.5),
         "ce_rerank_topk": _ce_rerank_sql(k=10, depth=50),
+        "repetition_stats": _osql.repetition_stats_sql(),
+        "pii_scrub": _osql.scrub_pii_sql(_PII_CONTENT_SQL),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "mmr_rerank": _mmr_sql(),

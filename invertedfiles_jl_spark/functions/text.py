@@ -293,3 +293,77 @@ def lm_perplexity(df: DataFrame, cfg: IndexConfig | None = None,
     )
     return agg.select("doc_id", "n_tokens",
                       F.round(F.exp("h"), ppl_round).alias("ppl"))
+
+
+# PII patterns: deliberately simple, RE2-and-Java-compatible (no lookaround)
+# so Spark and the DuckDB oracle compile the SAME regex text.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "hexsecret": r"\b[0-9a-f]{32,}\b",
+}
+
+
+def scrub_pii(df: DataFrame, doc_col: str = "doc_id",
+              content_col: str = "content") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_hexsecret, redacted) — count and redact
+    the standard PII classes (each match replaced by ``<CLASS>``), the
+    compliance pass every shipped training corpus runs.
+
+    Map-only: counts via ``regexp_extract_all`` size, redaction via chained
+    ``regexp_replace`` — one scan, whole-stage codegen, no shuffle at any
+    scale.  Patterns avoid lookaround so the identical regex text runs in
+    Java (Spark) and RE2 (DuckDB oracle).  Redaction order is the fixed
+    dict order (email → ipv4 → hexsecret); counts are measured on the
+    ORIGINAL text, before any replacement.
+    """
+    cols = [F.col(doc_col).alias("doc_id")]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.size(F.regexp_extract_all(
+            F.col(content_col), F.lit(pat), F.lit(0))).cast("long")
+            .alias(f"n_{name}"))
+    red = F.col(content_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
+def repetition_stats(df: DataFrame, cfg: IndexConfig | None = None,
+                     doc_col: str = "doc_id",
+                     content_col: str = "content") -> DataFrame:
+    """(doc_id, top_word_frac, top_bigram_frac, top_trigram_frac) — the
+    Gopher-style repetition signals (fraction of the token stream consumed
+    by the single most frequent word / bigram / trigram); degenerate
+    machine-generated text spikes these long before perplexity moves.
+
+    One tokenize + three n-gram aggregations per doc, each the standard
+    explode → per-(doc, gram) count → per-doc max/sum shape — linear in
+    tokens with map-side combine (never the quadratic per-row
+    distinct×filter scan), then three doc-keyed joins of aggregated (small)
+    relations.  A doc with fewer tokens than the n-gram order reports 0
+    for that order.
+    """
+    cfg = cfg or IndexConfig()
+    t = tokens_sql(content_col, cfg)
+
+    def gram_expr(n: int) -> str:
+        if n == 1:
+            return t
+        concat = ", ' ', ".join(f"({t})[i+{j}]" for j in range(n))
+        # sequence(0, -1) counts DOWN in Spark — guard short docs explicitly
+        return (f"CASE WHEN size({t}) >= {n} THEN "
+                f"transform(sequence(0, size({t}) - {n}), "
+                f"i -> concat({concat})) ELSE array() END")
+
+    base = df.select(F.col(doc_col).alias("doc_id"))
+    for n, name in ((1, "top_word_frac"), (2, "top_bigram_frac"),
+                    (3, "top_trigram_frac")):
+        g = df.select(F.col(doc_col).alias("doc_id"),
+                      F.explode(F.expr(gram_expr(n))).alias("g"))
+        per = (g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("doc_id")
+               .agg((F.max("c").cast("double") / F.sum("c")).alias("f")))
+        base = base.join(per, "doc_id", "left").withColumn(
+            name, F.round(F.coalesce(F.col("f"), F.lit(0.0)), 6)).drop("f")
+    return base

@@ -1452,3 +1452,59 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, round(cos, 5) AS cos FROM ranked WHERE rank <= {k}
 """
+
+
+def repetition_stats_sql() -> str:
+    """Mirrors ``functions.text.repetition_stats``: per-order explode →
+    per-(doc, gram) count → max/sum, LEFT-joined so short/empty docs report
+    0 (DuckDB lists are 1-based: bigram i spans toks[i], toks[i+1] for
+    i in 1..len-1)."""
+    def gram_cte(n: int, name: str) -> str:
+        if n == 1:
+            grams = "toks"
+        else:
+            concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+            grams = (f"CASE WHEN len(toks) >= {n} THEN "
+                     f"list_transform(range(1, len(toks) - {n - 2}), "
+                     f"i -> {concat}) ELSE CAST([] AS VARCHAR[]) END")
+        return f"""
+g{n} AS (SELECT doc_id, unnest({grams}) AS g FROM t),
+p{n} AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS {name} FROM (
+    SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+    return f"""
+WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),{gram_cte(1, 'f1')},{gram_cte(2, 'f2')},{gram_cte(3, 'f3')}
+SELECT d.doc_id,
+       round(coalesce(p1.f1, 0), 6) AS top_word_frac,
+       round(coalesce(p2.f2, 0), 6) AS top_bigram_frac,
+       round(coalesce(p3.f3, 0), 6) AS top_trigram_frac
+FROM documents d
+LEFT JOIN p1 ON p1.doc_id = d.doc_id
+LEFT JOIN p2 ON p2.doc_id = d.doc_id
+LEFT JOIN p3 ON p3.doc_id = d.doc_id
+"""
+
+
+def scrub_pii_sql(content_expr: str = "text") -> str:
+    """Mirrors ``functions.text.scrub_pii`` over ``content_expr`` (an SQL
+    expression over ``documents``): identical regex text (RE2- and
+    Java-compatible, no lookaround), counts on the original text, chained
+    global replaces in dict order; redacted text md5'd for a compact
+    value hash."""
+    from invertedfiles_jl_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({content_expr}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = content_expr
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       md5({red}) AS red_md5
+FROM documents
+"""

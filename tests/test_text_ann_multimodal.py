@@ -587,3 +587,35 @@ def test_ivf_pq_candidates_subset_of_probe(emb, spark):
               for q, v in probes.items()}
     for r in rows:
         assert assign[r["vec_id"]] in probed[r["query_id"]], r
+
+
+def test_repetition_stats_closed_form(spark):
+    from invertedfiles_jl_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y x y x y"), (2, "w"), (3, "")],
+        "doc_id long, content string")
+    got = {r["doc_id"]: r for r in repetition_stats(df, CFG).collect()}
+    assert got[0]["top_word_frac"] == 0.75            # a: 3/4
+    assert got[0]["top_bigram_frac"] == 0.666667      # 'a a': 2/3
+    assert got[0]["top_trigram_frac"] == 0.5          # 'a a a': 1/2
+    assert got[1]["top_bigram_frac"] == 0.6           # 'x y': 3/5
+    assert got[2] ["top_word_frac"] == 1.0
+    assert got[2]["top_bigram_frac"] == 0.0           # shorter than order
+    assert got[3]["top_word_frac"] == 0.0             # empty doc
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from invertedfiles_jl_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@x.co and ALICE@Y.ORG ip 10.0.0.7 "
+             "key deadbeefdeadbeefdeadbeefdeadbeef end"),
+         (1, "clean text, no pii at all")],
+        "doc_id long, content string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_hexsecret"]) == (2, 1, 1)
+    assert got[0]["redacted"] == ("mail <EMAIL> and <EMAIL> ip <IPV4> "
+                                  "key <HEXSECRET> end")
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_hexsecret"]) == (0, 0, 0)
+    assert got[1]["redacted"] == "clean text, no pii at all"

@@ -1960,6 +1960,16 @@ _PII_CONTENT_SQL = ("text || ' contact' || CAST(doc_id AS VARCHAR) "
                     "|| CAST(doc_id % 256 AS VARCHAR) || '.7'")
 
 
+def _q_curate_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation verdict with the Gopher repetition gate armed
+    (top-bigram fraction > 0.04 → 'repetition', attributed between the
+    quality and dedup gates)."""
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    return curate(_corpus(spark, sf_dir), langs=("en",), quality_min=0.45,
+                  near_threshold=0.5, max_top_bigram_frac=0.04)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation verdict: lang → quality → exact-dup → near-dup,
     each doc labeled keep/reason (first failing gate).  One row gates the
@@ -3692,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ce_rerank_topk": _q_ce_rerank,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
+        "curation_verdict_rep": _q_curate_rep,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
         "hybrid_minmax_topk": _q_hybrid_minmax,
@@ -3817,6 +3828,9 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
         "ce_rerank_topk": _ce_rerank_sql(k=10, depth=50),
         "repetition_stats": _osql.repetition_stats_sql(),
         "pii_scrub": _osql.scrub_pii_sql(_PII_CONTENT_SQL),
+        "curation_verdict_rep": _osql.curate_sql(
+            langs=("en",), quality_min=0.45, near_threshold=0.5,
+            max_top_bigram_frac=0.04),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "mmr_rerank": _mmr_sql(),

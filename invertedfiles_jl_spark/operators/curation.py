@@ -33,16 +33,22 @@ from invertedfiles_jl_spark.operators.dedup import (
 def curate(corpus: DataFrame, cfg: IndexConfig | None = None,
            langs: tuple[str, ...] = ("en",), quality_min: float = 0.45,
            near_n: int = 3, near_threshold: float = 0.5,
+           max_top_bigram_frac: float | None = None,
            doc_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """(doc_id, keep, reason) for every corpus doc.
 
     ``reason`` is the FIRST failing gate in the fixed order ``lang`` →
-    ``quality`` → ``exact_dup`` → ``near_dup``, or ``ok`` when the doc
-    survives all four (then ``keep`` is true).  Gate semantics:
+    ``quality`` → ``repetition`` → ``exact_dup`` → ``near_dup``, or ``ok``
+    when the doc survives them all (then ``keep`` is true).  Gate
+    semantics:
 
     * ``lang``      — ``pred_lang`` (marker-token argmax) not in ``langs``;
     * ``quality``   — heuristic quality score (rounded to 6 dp, the same
                       value ``quality_score`` emits) below ``quality_min``;
+    * ``repetition`` — Gopher-style: the most frequent bigram consumes more
+                      than ``max_top_bigram_frac`` of the bigram stream
+                      (rounded 6 dp, same value ``repetition_stats`` emits);
+                      gate is OFF when the threshold is None (default);
     * ``exact_dup`` — content sha256 collides with a LOWER doc_id (the
                       keep-min policy of ``exact_duplicates``);
     * ``near_dup``  — in a MinHash near-dup component whose representative
@@ -75,13 +81,25 @@ def curate(corpus: DataFrame, cfg: IndexConfig | None = None,
     reason = (
         F.when(~F.array_contains(langs_arr, F.col("pred_lang")), F.lit("lang"))
         .when(F.col("quality") < F.lit(float(quality_min)), F.lit("quality"))
+    )
+    joined = base.join(F.broadcast(ex), "doc_id", "left")
+    if max_top_bigram_frac is not None:
+        from invertedfiles_jl_spark.functions.text import repetition_stats
+
+        rep = repetition_stats(corpus, cfg, doc_col, content_col).select(
+            "doc_id", "top_bigram_frac")
+        joined = joined.join(rep, "doc_id", "left")
+        reason = reason.when(
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+            > F.lit(float(max_top_bigram_frac)), F.lit("repetition"))
+    reason = (
+        reason
         .when(F.coalesce(F.col("is_exact_dup"), F.lit(False)), F.lit("exact_dup"))
         .when(F.coalesce(F.col("is_near_dup"), F.lit(False)), F.lit("near_dup"))
         .otherwise(F.lit("ok"))
     )
     return (
-        base.join(F.broadcast(ex), "doc_id", "left")
-        .join(F.broadcast(nd), "doc_id", "left")
+        joined.join(F.broadcast(nd), "doc_id", "left")
         .select("doc_id", (reason == "ok").alias("keep"),
                 reason.alias("reason"))
     )

@@ -1198,7 +1198,8 @@ SELECT doc_id, n_tokens, round(exp(h), {ppl_round}) AS ppl FROM agg
 
 
 def curate_sql(langs: tuple[str, ...] = ("en",), quality_min: float = 0.45,
-               near_threshold: float = 0.5) -> str:
+               near_threshold: float = 0.5,
+               max_top_bigram_frac: float | None = None) -> str:
     """Mirrors ``operators.curation.curate``: the full curation verdict —
     language gate, quality gate (same rounded-to-6dp value as
     ``quality_score_sql``), exact-dup keep-min, near-dup keep-min — with
@@ -1208,8 +1209,28 @@ def curate_sql(langs: tuple[str, ...] = ("en",), quality_min: float = 0.45,
     hit_cols, pred = _lang_exprs()
     _, _, q = _quality_exprs()
     langs_lit = str(list(langs))
+    rep_cte = ""
+    rep_join = ""
+    rep_when = ""
+    if max_top_bigram_frac is not None:
+        rep_cte = f"""
+rt AS (SELECT doc_id, {_T} AS toks FROM documents),
+rg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM rt
+),
+rp AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+  FROM (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),"""
+        rep_join = "\n  LEFT JOIN rp ON rp.doc_id = l.doc_id"
+        rep_when = (f"\n              WHEN coalesce(rp.top_bigram_frac, 0) > "
+                    f"{max_top_bigram_frac} THEN 'repetition'")
     return f"""
-WITH ex AS (
+WITH{rep_cte} ex AS (
   SELECT doc_id FROM ({dedup_exact_sql()}) WHERE doc_id != canonical_id
 ),
 nd AS (
@@ -1224,13 +1245,13 @@ lbl AS (SELECT doc_id, {pred} AS pred_lang, quality FROM scored),
 r AS (
   SELECT l.doc_id,
          CASE WHEN NOT list_contains({langs_lit}, l.pred_lang) THEN 'lang'
-              WHEN l.quality < {quality_min} THEN 'quality'
+              WHEN l.quality < {quality_min} THEN 'quality'{rep_when}
               WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
               WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
               ELSE 'ok' END AS reason
   FROM lbl l
   LEFT JOIN ex ON ex.doc_id = l.doc_id
-  LEFT JOIN nd ON nd.doc_id = l.doc_id
+  LEFT JOIN nd ON nd.doc_id = l.doc_id{rep_join}
 )
 SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """

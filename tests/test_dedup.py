@@ -204,3 +204,24 @@ def test_curate_covers_every_doc_once(documents, spark):
     assert res.select("doc_id").distinct().count() == corpus.count()
     reasons = {r["reason"] for r in res.select("reason").distinct().collect()}
     assert reasons <= {"ok", "lang", "quality", "exact_dup", "near_dup"}
+
+
+def test_curate_repetition_gate_order(spark):
+    """The repetition gate fires between quality and the dedup gates: a
+    degenerate repeated-bigram doc reports 'repetition'; the same doc
+    failing lang reports 'lang' (order), and the gate is off by default."""
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    loop = ("the code " * 60).strip()              # top bigram dominates
+    clean = ("the alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo and "
+             "of a is to " * 4)
+    docs = [(0, clean), (1, loop), (2, "el la " * 60 + "de los")]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    got = {r["doc_id"]: r["reason"]
+           for r in curate(df, max_top_bigram_frac=0.3).collect()}
+    assert got[0] == "ok"
+    assert got[1] == "repetition"
+    assert got[2] == "lang"                        # lang fires first
+    off = {r["doc_id"]: r["reason"] for r in curate(df).collect()}
+    assert off[1] == "ok"                          # gate off by default

@@ -169,6 +169,10 @@ def main(argv=None):
                     help="comma-separated accepted pred_lang values")
     cu.add_argument("--quality-min", type=float, default=0.45)
     cu.add_argument("--near-threshold", type=float, default=0.5)
+    cu.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="arm the Gopher repetition gate at this threshold")
+    cu.add_argument("--write-kept", default=None,
+                    help="also write the surviving input rows to this path")
     cu.add_argument("--doc-col", default="doc_id")
     cu.add_argument("--content-col", default="content")
 
@@ -180,9 +184,19 @@ def main(argv=None):
     sc.add_argument("--input", required=True)
     sc.add_argument("--output", required=True)
     sc.add_argument("--mode", default="quality",
-                    choices=["quality", "lm", "lang", "tokens"])
+                    choices=["quality", "lm", "lang", "tokens", "repetition"])
     sc.add_argument("--doc-col", default="doc_id")
     sc.add_argument("--content-col", default="content")
+
+    sb = sub.add_parser(
+        "scrub",
+        help="PII scrub: count + redact emails / ipv4 / hex secrets "
+             "(map-only; writes the input schema with content replaced by "
+             "the redacted text plus per-class counts)")
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--output", required=True)
+    sb.add_argument("--doc-col", default="doc_id")
+    sb.add_argument("--content-col", default="content")
 
     pf = sub.add_parser(
         "profile",
@@ -486,11 +500,18 @@ def main(argv=None):
         res = curate(data, langs=tuple(args.langs.split(",")),
                      quality_min=args.quality_min,
                      near_threshold=args.near_threshold,
+                     max_top_bigram_frac=args.max_top_bigram_frac,
                      doc_col=args.doc_col, content_col=args.content_col)
         res.write.mode("overwrite").parquet(args.output)
+        verdict = spark.read.parquet(args.output)
         counts = {r["reason"]: r["n"] for r in
-                  spark.read.parquet(args.output).groupBy("reason")
+                  verdict.groupBy("reason")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if args.write_kept:
+            kept = verdict.filter(F.col("keep")).select(
+                F.col("doc_id").alias(args.doc_col))
+            data.join(kept, args.doc_col, "left_semi").write.mode(
+                "overwrite").parquet(args.write_kept)
         print(f"curated to {args.output}: {counts}")
         return 0
 
@@ -504,11 +525,25 @@ def main(argv=None):
 
         data = (spark.read.table(args.input) if "/" not in args.input
                 else spark.read.parquet(args.input))
+        from invertedfiles_jl_spark.functions.text import repetition_stats
+
         fn = {"quality": quality_score, "lm": lm_perplexity,
-              "lang": lang_id, "tokens": token_stats}[args.mode]
+              "lang": lang_id, "tokens": token_stats,
+              "repetition": repetition_stats}[args.mode]
         res = fn(data, doc_col=args.doc_col, content_col=args.content_col)
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.mode} scores to {args.output}")
+        return 0
+
+    if args.cmd == "scrub":
+        from invertedfiles_jl_spark.functions.text import scrub_pii
+
+        data = (spark.read.table(args.input) if "/" not in args.input
+                else spark.read.parquet(args.input))
+        res = scrub_pii(data, doc_col=args.doc_col,
+                        content_col=args.content_col)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote scrubbed corpus to {args.output}")
         return 0
 
     if args.cmd == "profile":

@@ -539,3 +539,30 @@ def test_cli_dense_methods(spark, sf_dir, tmp_path):
                              "--queries", qpath, "--output", pout,
                              "--method", "pq", "--k", "5"]) == 0
     assert spark.read.parquet(pout).count() == 15
+
+
+def test_cli_scrub_and_write_kept(spark, corpus_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.curation import curate
+
+    sout = str(tmp_path / "scrubbed")
+    assert submit_main.main(["scrub", "--input", corpus_path,
+                             "--output", sout]) == 0
+    red = spark.read.parquet(sout)
+    assert set(red.columns) == {"doc_id", "n_email", "n_ipv4",
+                                "n_hexsecret", "redacted"}
+    assert red.count() == spark.read.parquet(corpus_path).count()
+
+    out = str(tmp_path / "verdict2")
+    kept_path = str(tmp_path / "kept")
+    assert submit_main.main(["curate", "--input", corpus_path,
+                             "--output", out,
+                             "--max-top-bigram-frac", "0.04",
+                             "--write-kept", kept_path]) == 0
+    corpus = spark.read.parquet(corpus_path)
+    want = curate(corpus, max_top_bigram_frac=0.04)
+    n_keep = want.filter(F.col("keep")).count()
+    kept = spark.read.parquet(kept_path)
+    assert kept.count() == n_keep
+    assert set(kept.columns) == set(corpus.columns)

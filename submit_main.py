@@ -185,8 +185,23 @@ def main(argv=None):
     sc.add_argument("--output", required=True)
     sc.add_argument("--mode", default="quality",
                     choices=["quality", "lm", "lang", "tokens", "repetition"])
+    sc.add_argument("--train", default=None,
+                    help="lm mode: fit the unigram model on THIS corpus and "
+                         "score --input held-out against it")
     sc.add_argument("--doc-col", default="doc_id")
     sc.add_argument("--content-col", default="content")
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup-style dense dedup: (vec_id, kept, dup_of) via "
+             "IVF-cluster-bucketed cosine pairs, keep-min policy")
+    sd.add_argument("--embeddings", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--n-clusters", type=int, default=16)
+    sd.add_argument("--n-bands", type=int, default=None,
+                    help="arm the in-cluster sign-band LSH prune")
+    sd.add_argument("--band-width", type=int, default=8)
 
     sb = sub.add_parser(
         "scrub",
@@ -530,9 +545,33 @@ def main(argv=None):
         fn = {"quality": quality_score, "lm": lm_perplexity,
               "lang": lang_id, "tokens": token_stats,
               "repetition": repetition_stats}[args.mode]
-        res = fn(data, doc_col=args.doc_col, content_col=args.content_col)
+        kw = {}
+        if args.train is not None:
+            if args.mode != "lm":
+                print("--train applies to --mode lm only", file=sys.stderr)
+                return 2
+            kw["train_df"] = (spark.read.table(args.train)
+                              if "/" not in args.train
+                              else spark.read.parquet(args.train))
+        res = fn(data, doc_col=args.doc_col, content_col=args.content_col,
+                 **kw)
         res.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.mode} scores to {args.output}")
+        return 0
+
+    if args.cmd == "semdedup":
+        from invertedfiles_jl_spark.operators.ann import semantic_dedup
+
+        emb = (spark.read.table(args.embeddings)
+               if "/" not in args.embeddings
+               else spark.read.parquet(args.embeddings))
+        res = semantic_dedup(emb, threshold=args.threshold,
+                             n_clusters=args.n_clusters,
+                             n_bands=args.n_bands,
+                             band_width=args.band_width)
+        res.write.mode("overwrite").parquet(args.output)
+        n_drop = res.filter(~res.kept).count()
+        print(f"wrote semdedup verdict to {args.output}: {n_drop} dropped")
         return 0
 
     if args.cmd == "scrub":

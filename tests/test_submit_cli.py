@@ -566,3 +566,34 @@ def test_cli_scrub_and_write_kept(spark, corpus_path, tmp_path):
     kept = spark.read.parquet(kept_path)
     assert kept.count() == n_keep
     assert set(kept.columns) == set(corpus.columns)
+
+
+def test_cli_semdedup_and_heldout_lm(spark, sf_dir, corpus_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.functions.text import lm_perplexity
+    from invertedfiles_jl_spark.operators.ann import semantic_dedup
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "semdedup_res")
+    assert submit_main.main(["semdedup", "--embeddings", emb_path,
+                             "--output", out, "--threshold", "0.4",
+                             "--n-clusters", "8"]) == 0
+    got = {r.vec_id: (r.kept, r.dup_of)
+           for r in spark.read.parquet(out).collect()}
+    emb = spark.read.parquet(emb_path)
+    want = {r.vec_id: (r.kept, r.dup_of)
+            for r in semantic_dedup(emb, threshold=0.4, n_clusters=8).collect()}
+    assert got == want
+
+    corpus = spark.read.parquet(corpus_path)
+    half = str(tmp_path / "train_half")
+    corpus.filter(F.col("doc_id") < 250).write.parquet(half)
+    lout = str(tmp_path / "lm_heldout")
+    assert submit_main.main(["score", "--input", corpus_path,
+                             "--output", lout, "--mode", "lm",
+                             "--train", half]) == 0
+    got_lm = {r.doc_id: r.ppl for r in spark.read.parquet(lout).collect()}
+    want_lm = {r.doc_id: r.ppl for r in lm_perplexity(
+        corpus, train_df=corpus.filter(F.col("doc_id") < 250)).collect()}
+    assert got_lm == want_lm

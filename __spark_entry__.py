@@ -3633,7 +3633,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Key order is an AUDIT-ROTATION POLICY, not edit history: the driver
+    # verifies the first 50 keys in dict order, so each round the keys with
+    # the weakest (oldest / never-run) driver evidence go first.
+    # Round-5 window: 39 never-driver-run rows, then pack_sequences (oracle
+    # type fix to attest), then the 10 highest-drift-risk round-3 rows.
     return {
+        # -- never driver-run before round 5 (39) --
+        "positional_postings": _q_positional_postings,
+        "phrase_topk": _q_phrase_topk,
+        "proximity_topk": _q_proximity_topk,
+        "snippet_topk": _q_snippet_topk,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "ann_sq8": _q_ann_sq8,
+        "ann_pq": _q_ann_pq,
+        "ann_ivf_pq": _q_ann_ivf_pq,
+        "recall_sq8_vs_bruteforce": _q_recall_sq8,
+        "semantic_dedup": _q_semantic_dedup,
+        "lm_perplexity": _q_lm_perplexity,
+        "curation_verdict": _q_curate,
+        "curation_verdict_rep": _q_curate_rep,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "ce_rerank_topk": _q_ce_rerank,
+        "mmr_rerank": _q_mmr_rerank,
+        "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
+        "hybrid_minmax_topk": _q_hybrid_minmax,
+        "percolate_matches": _q_percolate,
+        "ranking_metrics": _q_ranking_metrics,
+        "allknn_capped": _q_allknn_capped,
+        "delete_docs_bm25_topk": _q_delete_bm25,
+        "delete_docs_postings": _q_delete_postings,
+        "pruned_bm25_topk": _q_pruned_bm25,
+        "bm25_page2": _q_bm25_page2,
+        "facet_counts_lang": _q_facet_counts,
+        "more_like_this": _q_more_like_this,
+        "suggest_corrections": _q_suggest_corrections,
+        "search_after_topk": _q_search_after,
+        "facet_top_hits": _q_facet_top_hits,
+        "lm_dirichlet_topk": _q_lm_dirichlet,
+        "tfidf_topk": _q_tfidf,
+        "symbol_bm25_topk": _q_symbol_bm25,
+        "federated_bm25_topk": _q_federated_bm25,
+        "corpus_profile": _q_corpus_profile,
+        "benchmark_contamination": _q_contamination,
+        "term_cooccurrence": _q_term_cooccurrence,
+        "chunk_documents": _q_chunk_documents,
+        # -- red in r4 (oracle HUGEINT cast fixed this round) --
+        "pack_sequences": _q_pack_sequences,
+        # -- green in r3 but code drifted since; re-attest (10) --
+        "streaming_bm25_topk": _q_streaming_topk,
+        "ann_ivf": _q_ann_ivf,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
+        "allknn_sample": _q_allknn_sample,
+        "exhaustive_cosine": _q_exhaustive_cosine,
+        "recall_cosine_vs_exhaustive": _q_recall_cosine,
+        "incremental_postings": _q_incremental_postings,
+        "embedding_near_dups": _q_emb_near_dups,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "sql_surface": _q_sql_surface,
+        # ---- end of the round-5 driver window (50 keys) ----
+        # remaining r3-green rows (next rotation candidates)
+        "embedding_near_dups_exact": _q_emb_near_dups_exact,
+        "index_stats": _q_index_stats,
+        "search_cost": _q_search_cost,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_plan,
+        "rolling_fingerprint": _q_rolling_fp,
+        "ngram_set_dups": _q_ngram_dups,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        # rows green in the round-4 driver window
         "bm25_topk": _q_bm25,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_tthreshold2": _q_bm25_t2,
@@ -3673,7 +3746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_bm25_topk": _q_auto_bm25,
         "route_explain": _q_route_explain,
         "facet_histogram_chars": _q_facet_histogram,
-        "pack_sequences": _q_pack_sequences,
         "boolean_topk": _q_boolean_topk,
         "query_string_topk": _q_query_string_topk,
         "qstring_percolate": _q_qstring_percolate,
@@ -3684,67 +3756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "temperature_sample": _q_temperature_sample,
         "significant_terms": _q_significant_terms,
-        "ngram_set_dups": _q_ngram_dups,
-        "simhash": _q_simhash,
-        "lang_id": _q_lang_id,
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality,
-        "fingerprint": _q_fingerprint,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_ivf": _q_ann_ivf,
-        "ann_sq8": _q_ann_sq8,
-        "ann_pq": _q_ann_pq,
-        "ann_ivf_pq": _q_ann_ivf_pq,
-        "recall_sq8_vs_bruteforce": _q_recall_sq8,
-        "semantic_dedup": _q_semantic_dedup,
-        "lm_perplexity": _q_lm_perplexity,
-        "curation_verdict": _q_curate,
-        "ce_rerank_topk": _q_ce_rerank,
-        "repetition_stats": _q_repetition_stats,
-        "pii_scrub": _q_pii_scrub,
-        "curation_verdict_rep": _q_curate_rep,
-        "hybrid_rrf_topk": _q_hybrid_rrf,
-        "hybrid_rrf_ivf_topk": _q_hybrid_rrf_ivf,
-        "hybrid_minmax_topk": _q_hybrid_minmax,
-        "mmr_rerank": _q_mmr_rerank,
-        "streaming_bm25_topk": _q_streaming_topk,
-        "percolate_matches": _q_percolate,
-        "ranking_metrics": _q_ranking_metrics,
-        "embedding_near_dups": _q_emb_near_dups,
-        "embedding_near_dups_exact": _q_emb_near_dups_exact,
-        "incremental_postings": _q_incremental_postings,
-        "index_stats": _q_index_stats,
-        "search_cost": _q_search_cost,
-        "sql_surface": _q_sql_surface,
-        "exhaustive_cosine": _q_exhaustive_cosine,
-        "recall_cosine_vs_exhaustive": _q_recall_cosine,
-        "allknn_sample": _q_allknn_sample,
-        "allknn_capped": _q_allknn_capped,
-        "media_features": _q_media_features,
-        "frame_sample_plan": _q_frame_plan,
-        "rolling_fingerprint": _q_rolling_fp,
-        "positional_postings": _q_positional_postings,
-        "phrase_topk": _q_phrase_topk,
-        "proximity_topk": _q_proximity_topk,
-        "snippet_topk": _q_snippet_topk,
-        "phrase_bm25_topk": _q_phrase_bm25_topk,
-        "corpus_profile": _q_corpus_profile,
-        "delete_docs_bm25_topk": _q_delete_bm25,
-        "delete_docs_postings": _q_delete_postings,
-        "pruned_bm25_topk": _q_pruned_bm25,
-        "bm25_page2": _q_bm25_page2,
-        "facet_counts_lang": _q_facet_counts,
-        "more_like_this": _q_more_like_this,
-        "benchmark_contamination": _q_contamination,
-        "suggest_corrections": _q_suggest_corrections,
-        "term_cooccurrence": _q_term_cooccurrence,
-        "lm_dirichlet_topk": _q_lm_dirichlet,
-        "tfidf_topk": _q_tfidf,
-        "search_after_topk": _q_search_after,
-        "facet_top_hits": _q_facet_top_hits,
-        "chunk_documents": _q_chunk_documents,
-        "symbol_bm25_topk": _q_symbol_bm25,
-        "federated_bm25_topk": _q_federated_bm25,
     }
 
 

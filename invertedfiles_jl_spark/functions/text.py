@@ -305,7 +305,8 @@ PII_PATTERNS = {
 
 
 def scrub_pii(df: DataFrame, doc_col: str = "doc_id",
-              content_col: str = "content") -> DataFrame:
+              content_col: str = "content",
+              preserve_schema: bool = False) -> DataFrame:
     """(doc_id, n_email, n_ipv4, n_hexsecret, redacted) — count and redact
     the standard PII classes (each match replaced by ``<CLASS>``), the
     compliance pass every shipped training corpus runs.
@@ -316,17 +317,24 @@ def scrub_pii(df: DataFrame, doc_col: str = "doc_id",
     Java (Spark) and RE2 (DuckDB oracle).  Redaction order is the fixed
     dict order (email → ipv4 → hexsecret); counts are measured on the
     ORIGINAL text, before any replacement.
+
+    ``preserve_schema=True`` instead returns the FULL input schema with
+    ``content_col`` replaced in place by the redacted text plus the
+    ``n_*`` count columns appended — still one map-only select (no join),
+    for write-back pipelines that must keep metadata columns.
     """
-    cols = [F.col(doc_col).alias("doc_id")]
-    for name, pat in PII_PATTERNS.items():
-        cols.append(F.size(F.regexp_extract_all(
-            F.col(content_col), F.lit(pat), F.lit(0))).cast("long")
-            .alias(f"n_{name}"))
+    count_cols = [F.size(F.regexp_extract_all(
+        F.col(content_col), F.lit(pat), F.lit(0))).cast("long")
+        .alias(f"n_{name}") for name, pat in PII_PATTERNS.items()]
     red = F.col(content_col)
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
-    cols.append(red.alias("redacted"))
-    return df.select(*cols)
+    if preserve_schema:
+        keep = [red.alias(c) if c == content_col else F.col(c)
+                for c in df.columns]
+        return df.select(*keep, *count_cols)
+    return df.select(F.col(doc_col).alias("doc_id"), *count_cols,
+                     red.alias("redacted"))
 
 
 def repetition_stats(df: DataFrame, cfg: IndexConfig | None = None,
@@ -345,22 +353,27 @@ def repetition_stats(df: DataFrame, cfg: IndexConfig | None = None,
     for that order.
     """
     cfg = cfg or IndexConfig()
-    t = tokens_sql(content_col, cfg)
+    # Materialize the token array ONCE per doc: Spark does not hoist
+    # loop-invariant subexpressions out of HOF lambdas, so embedding the
+    # tokenizer as `(tokenize(content))[i+j]` inside transform() would
+    # re-tokenize per n-gram element — O(tokens × tokenize) per doc.
+    toked = df.select(F.col(doc_col).alias("doc_id"),
+                      F.expr(tokens_sql(content_col, cfg)).alias("__toks"))
 
     def gram_expr(n: int) -> str:
         if n == 1:
-            return t
-        concat = ", ' ', ".join(f"({t})[i+{j}]" for j in range(n))
+            return "__toks"
+        concat = ", ' ', ".join(f"__toks[i+{j}]" for j in range(n))
         # sequence(0, -1) counts DOWN in Spark — guard short docs explicitly
-        return (f"CASE WHEN size({t}) >= {n} THEN "
-                f"transform(sequence(0, size({t}) - {n}), "
+        return (f"CASE WHEN size(__toks) >= {n} THEN "
+                f"transform(sequence(0, size(__toks) - {n}), "
                 f"i -> concat({concat})) ELSE array() END")
 
-    base = df.select(F.col(doc_col).alias("doc_id"))
+    base = toked.select("doc_id")
     for n, name in ((1, "top_word_frac"), (2, "top_bigram_frac"),
                     (3, "top_trigram_frac")):
-        g = df.select(F.col(doc_col).alias("doc_id"),
-                      F.explode(F.expr(gram_expr(n))).alias("g"))
+        g = toked.select("doc_id",
+                         F.explode(F.expr(gram_expr(n))).alias("g"))
         per = (g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
                .groupBy("doc_id")
                .agg((F.max("c").cast("double") / F.sum("c")).alias("f")))

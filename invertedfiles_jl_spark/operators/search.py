@@ -419,21 +419,62 @@ def regex_topk(index: InvertedIndex, patterns: DataFrame, k: int = 10,
     return topk(scored, k, "n_terms", ascending=False)
 
 
-def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,
-                 term_col: str = "qterm") -> DataFrame:
-    """(query_id, term_id) — every vocab term within ``max_dist`` edit
-    distance of each query term.  Same broadcast theta-join shape as
-    :func:`expand_prefixes`, with a cheap length-difference prefilter
-    (``|len(t) − len(q)| ≤ d`` is a Levenshtein lower bound) so the
-    quadratic Levenshtein only runs on length-compatible pairs."""
-    q = fuzzy.select("query_id", F.lower(F.col(term_col)).alias("qterm"))
+def _fuzzy_matches(index: InvertedIndex, q: DataFrame, max_dist: int,
+                   vocab_cols: list[str]) -> DataFrame:
+    """(query_id, qterm, term, *vocab_cols) — every vocab term within
+    ``max_dist`` edits of each (already-lowercased) ``qterm``.
+
+    Two candidate paths, unioned, results identical by construction:
+
+    * **trigram path** (query terms of length ≥ 3·d+3): each edit touches
+      at most 3 trigram positions, so a query term with ≥ 3·d+1 trigram
+      positions keeps at least one position untouched by the d edits —
+      that gram survives verbatim in every term within distance d.  Hence
+      a shared-distinct-trigram equi-join (vocab grams ⋈ broadcast query
+      grams) is a LOSSLESS candidate prune, and the quadratic Levenshtein
+      runs only on gram-sharing pairs — O(|vocab| · avg_len) hash probes
+      instead of an O(|vocab| · |Q|) nested-loop, the one dictionary op
+      that previously scanned the whole vocab per query term.
+    * **fallback path** (shorter query terms, where the bound gives no
+      guarantee): the original broadcast theta-join with the
+      length-difference Levenshtein lower bound as prefilter.
+    """
+    from invertedfiles_jl_spark.operators.trigram import _grams_sql
+
     t, qt = F.col("term"), F.col("qterm")
-    cond = (
+    lev_ok = (
         (F.abs(F.length(t) - F.length(qt)) <= max_dist)
         & (F.levenshtein(t, qt) <= max_dist)
     )
-    return index.vocab.select("term", "term_id").join(
-        F.broadcast(q), cond).select("query_id", "term_id")
+    out_cols = ["query_id", "qterm", "term", *vocab_cols]
+    vocab = index.vocab.select("term", *vocab_cols)
+    min_len = 3 * max_dist + 3
+    q_short = q.filter(F.length("qterm") < min_len)
+    q_long = q.filter(F.length("qterm") >= min_len)
+    short_m = vocab.join(F.broadcast(q_short), lev_ok).select(*out_cols)
+    qg = q_long.select(
+        "query_id", "qterm",
+        F.explode(F.expr(_grams_sql("qterm"))).alias("gram"))
+    vg = vocab.select(
+        "term", *vocab_cols,
+        F.explode(F.expr(_grams_sql("term"))).alias("gram"))
+    long_m = (
+        vg.join(F.broadcast(qg), "gram")
+        .select(*out_cols).distinct()     # ≥1 shared gram ⇒ candidate once
+        .filter(lev_ok)
+    )
+    return short_m.unionByName(long_m)
+
+
+def expand_fuzzy(index: InvertedIndex, fuzzy: DataFrame, max_dist: int = 1,
+                 term_col: str = "qterm") -> DataFrame:
+    """(query_id, term_id) — every vocab term within ``max_dist`` edit
+    distance of each query term.  Candidate generation via
+    :func:`_fuzzy_matches` (lossless shared-trigram prune for query terms
+    long enough for the 3·d+3 bound, broadcast theta-join below it)."""
+    q = fuzzy.select("query_id", F.lower(F.col(term_col)).alias("qterm"))
+    return _fuzzy_matches(index, q, max_dist, ["term_id"]).select(
+        "query_id", "term_id")
 
 
 def fuzzy_topk(index: InvertedIndex, fuzzy: DataFrame, k: int = 10,
@@ -915,19 +956,16 @@ def suggest_corrections(index: InvertedIndex, fuzzy: DataFrame, k: int = 3,
     first at dist 0 (callers typically suppress suggestions then); a term
     with no neighborhood yields zero rows.
 
-    Pure vocab operation like :func:`suggest_terms`: one broadcast theta
-    join against the term dictionary with the length-difference Levenshtein
-    lower bound as a cheap prefilter, one bounded per-term window;
+    Pure vocab operation like :func:`suggest_terms`: candidate pairs via
+    :func:`_fuzzy_matches` (lossless shared-trigram prune for query terms
+    of length ≥ 3·d+3, broadcast theta join with the length-difference
+    Levenshtein lower bound below it), one bounded per-term window;
     postings are never touched."""
     q = fuzzy.select("query_id", F.lower(F.col(term_col)).alias("qterm"))
-    t, qt = F.col("term"), F.col("qterm")
-    cond = (
-        (F.abs(F.length(t) - F.length(qt)) <= max_dist)
-        & (F.levenshtein(t, qt) <= max_dist)
-    )
-    m = index.vocab.select("term", "cf").join(F.broadcast(q), cond).select(
+    m = _fuzzy_matches(index, q, max_dist, ["cf"]).select(
         "query_id", "term", "cf",
-        F.levenshtein(t, qt).cast("int").alias("dist"))
+        F.levenshtein(F.col("term"), F.col("qterm")).cast("int")
+        .alias("dist"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("cf").desc(), F.col("term").asc())
     return (

@@ -182,7 +182,10 @@ WITH tl AS (
 ),
 c AS (
   SELECT doc_id, n,
-         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+         -- CAST: DuckDB's windowed sum(BIGINT) yields HUGEINT, which lands
+         -- in pandas as float64 and value-hash-mismatches Spark's long.
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+              AS BIGINT) AS start
   FROM tl WHERE n > 0
 ),
 spans AS (

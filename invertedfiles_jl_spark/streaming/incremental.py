@@ -195,6 +195,12 @@ def streaming_exact_dedup(stream_docs: DataFrame, content_col: str = "content",
     arrive within a window — the standard 100-TB knob, since an unbounded
     seen-set over an infinite stream grows forever by definition.
     """
+    if (time_col is None) != (watermark is None):
+        raise ValueError(
+            "streaming_exact_dedup: time_col and watermark must be supplied "
+            "together — passing only one would silently fall back to "
+            "UNBOUNDED dedup state, defeating the state-bounding knob "
+            f"(got time_col={time_col!r}, watermark={watermark!r})")
     df = stream_docs.withColumn(
         "__h", F.sha2(F.col(content_col).cast("binary"), 256))
     if time_col is not None and watermark is not None:

@@ -579,10 +579,14 @@ def main(argv=None):
 
         data = (spark.read.table(args.input) if "/" not in args.input
                 else spark.read.parquet(args.input))
+        # preserve_schema keeps every input column (content redacted in
+        # place, n_* counts appended) in one map-only select — what the
+        # CLI help promises, with no doc_id re-join shuffle.
         res = scrub_pii(data, doc_col=args.doc_col,
-                        content_col=args.content_col)
+                        content_col=args.content_col, preserve_schema=True)
         res.write.mode("overwrite").parquet(args.output)
-        print(f"wrote scrubbed corpus to {args.output}")
+        print(f"wrote scrubbed corpus to {args.output} "
+              f"(input schema preserved, {args.content_col} redacted)")
         return 0
 
     if args.cmd == "profile":

@@ -550,8 +550,11 @@ def test_cli_scrub_and_write_kept(spark, corpus_path, tmp_path):
     assert submit_main.main(["scrub", "--input", corpus_path,
                              "--output", sout]) == 0
     red = spark.read.parquet(sout)
-    assert set(red.columns) == {"doc_id", "n_email", "n_ipv4",
-                                "n_hexsecret", "redacted"}
+    corpus_cols = set(spark.read.parquet(corpus_path).columns)
+    # CLI preserves the full input schema (content redacted in place) and
+    # appends the per-class counts — no metadata columns are dropped.
+    assert set(red.columns) == corpus_cols | {"n_email", "n_ipv4",
+                                              "n_hexsecret"}
     assert red.count() == spark.read.parquet(corpus_path).count()
 
     out = str(tmp_path / "verdict2")

@@ -2962,6 +2962,19 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(_corpus(spark, sf_dir))
 
 
+def _q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100-TB swap of corpus_profile: Greenwald-Khanna
+    approx_percentile sketches instead of per-metric sorts.  At
+    accuracy=1e6 ≥ n the sketch never compresses, so the result is the
+    exact discrete quantile and DuckDB quantile_disc mirrors every digit
+    (both systems return the smallest element with cum-count ≥ ceil(p·n);
+    probed on n=4,5,7,10)."""
+    from invertedfiles_jl_spark.operators.meta import corpus_profile
+
+    return corpus_profile(_corpus(spark, sf_dir), approx=True,
+                          accuracy=1_000_000)
+
+
 def _q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-ranked phrase retrieval (positional gate × BM25 postings
     score, operators/positional.phrase_bm25_topk)."""
@@ -3693,6 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "sql_surface": _q_sql_surface,
         # ---- end of the round-5 driver window (50 keys) ----
+        # new this round (locally verified; next rotation candidate)
+        "corpus_profile_approx": _q_corpus_profile_approx,
         # remaining r3-green rows (next rotation candidates)
         "embedding_near_dups_exact": _q_emb_near_dups_exact,
         "index_stats": _q_index_stats,
@@ -3873,6 +3888,20 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
        (SELECT round(quantile_cont(doc_len, 0.99), 6) FROM dl) AS doc_len_p99,
        (SELECT CAST(max(doc_len) AS BIGINT) FROM dl) AS doc_len_max,
        (SELECT round(quantile_cont(df, 0.9), 6) FROM vocab) AS df_p90,
+       (SELECT CAST(max(df) AS BIGINT) FROM vocab) AS df_max
+""",
+        # approx variant: accuracy ≥ n ⇒ the GK sketch is exact, and Spark
+        # approx_percentile's discrete convention == DuckDB quantile_disc
+        "corpus_profile_approx": f"""
+WITH {_BASE_CTES}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+       (SELECT CAST(sum(doc_len) AS BIGINT) FROM dl) AS total_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS distinct_terms,
+       (SELECT round(CAST(quantile_disc(doc_len, 0.5) AS DOUBLE), 6) FROM dl) AS doc_len_p50,
+       (SELECT round(CAST(quantile_disc(doc_len, 0.9) AS DOUBLE), 6) FROM dl) AS doc_len_p90,
+       (SELECT round(CAST(quantile_disc(doc_len, 0.99) AS DOUBLE), 6) FROM dl) AS doc_len_p99,
+       (SELECT CAST(max(doc_len) AS BIGINT) FROM dl) AS doc_len_max,
+       (SELECT round(CAST(quantile_disc(df, 0.9) AS DOUBLE), 6) FROM vocab) AS df_p90,
        (SELECT CAST(max(df) AS BIGINT) FROM vocab) AS df_max
 """,
         "delete_docs_bm25_topk": _bm25_sql(accept_where=f"NOT ({_DELETE_PRED})"),

@@ -61,17 +61,25 @@ def search_cost(index: InvertedIndex, queries: DataFrame) -> DataFrame:
 
 def corpus_profile(corpus: DataFrame, cfg=None,
                    doc_col: str = "doc_id",
-                   content_col: str = "content") -> DataFrame:
+                   content_col: str = "content",
+                   approx: bool = False,
+                   accuracy: int = 10000) -> DataFrame:
     """One-row corpus statistics report — the profiling step a curation
     pipeline runs before sizing an index build: document-length
     percentiles drive ``spark.sql.files.maxPartitionBytes``/salting
     choices, the df tail identifies hot terms for ``salt_df_threshold``.
 
     Columns: n_docs, total_tokens, distinct_terms, doc_len p50/p90/p99,
-    doc_len_max, df_p90, df_max.  Uses EXACT ``percentile`` so the DuckDB
-    oracle (``quantile_cont``) reproduces every digit; at 100 TB swap in
-    ``approx_percentile`` (same column shape, documented trade) — exact
-    percentile is a per-metric sort.
+    doc_len_max, df_p90, df_max.  Default uses EXACT ``percentile`` so
+    the DuckDB oracle (``quantile_cont``) reproduces every digit — a
+    per-metric sort.  ``approx=True`` is the 100-TB path: Greenwald-
+    Khanna ``approx_percentile`` sketches (mergeable, bounded memory
+    ``O(accuracy)`` per executor, rank error ≤ n/accuracy) replace the
+    sorts; same column shape.  The sketch returns an actual element of
+    the multiset (discrete), so its small-n oracle is ``quantile_disc``
+    — when ``accuracy ≥ n`` the sketch never compresses and the answer
+    is the exact discrete quantile (driver row
+    ``corpus_profile_approx`` attests exactly that).
     """
     from invertedfiles_jl_spark.config import IndexConfig
     from invertedfiles_jl_spark.operators.build import doc_term_freqs
@@ -80,15 +88,24 @@ def corpus_profile(corpus: DataFrame, cfg=None,
     tf = doc_term_freqs(corpus, cfg, doc_col, content_col)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if approx:
+        # sketch returns the element type (long) — cast to the exact
+        # path's double so both modes share one output schema
+        dp_expr = (f"cast(approx_percentile(doc_len, array(0.5, 0.9, 0.99),"
+                   f" {accuracy}) as array<double>)")
+        df90_expr = f"cast(approx_percentile(df, 0.9, {accuracy}) as double)"
+    else:
+        dp_expr = "percentile(doc_len, array(0.5, 0.9, 0.99))"
+        df90_expr = "percentile(df, 0.9)"
     a = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_len").cast("long").alias("total_tokens"),
-        F.expr("percentile(doc_len, array(0.5, 0.9, 0.99))").alias("dp"),
+        F.expr(dp_expr).alias("dp"),
         F.max("doc_len").cast("long").alias("doc_len_max"),
     )
     b = dfs.agg(
         F.count(F.lit(1)).cast("long").alias("distinct_terms"),
-        F.expr("percentile(df, 0.9)").alias("df_p90"),
+        F.expr(df90_expr).alias("df_p90"),
         F.max("df").cast("long").alias("df_max"),
     )
     return a.crossJoin(b).select(

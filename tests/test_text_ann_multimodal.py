@@ -374,6 +374,33 @@ def test_corpus_profile_vs_python(documents, docs_pandas, spark):
     assert row.df_max == int(dfa.max())
 
 
+def test_corpus_profile_approx(documents, docs_pandas, spark):
+    """The 100-TB swap: GK approx_percentile with accuracy ≥ n is the exact
+    discrete quantile (smallest element with cum-count ≥ ceil(p·n)), and
+    the output schema is identical to the exact mode."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from invertedfiles_jl_spark.operators.meta import corpus_profile
+
+    corpus = documents.select("doc_id", F.col("text").alias("content"))
+    exact = corpus_profile(corpus)
+    approx = corpus_profile(corpus, approx=True, accuracy=1_000_000)
+    assert exact.schema == approx.schema
+    row = approx.first()
+    lens = np.array(sorted(len(t.lower().split()) for t in docs_pandas["text"]))
+    for col, q in (("doc_len_p50", 0.5), ("doc_len_p90", 0.9),
+                   ("doc_len_p99", 0.99)):
+        want = float(lens[int(np.ceil(q * len(lens))) - 1])
+        assert getattr(row, col) == want, (col, getattr(row, col), want)
+    # count columns are sketch-independent
+    ex = exact.first()
+    assert (row.n_docs, row.total_tokens, row.distinct_terms,
+            row.doc_len_max, row.df_max) == \
+           (ex.n_docs, ex.total_tokens, ex.distinct_terms,
+            ex.doc_len_max, ex.df_max)
+
+
 # ---------------------------------------------------------------------------
 # SQ8 scalar quantization + semantic dedup + unigram-LM perplexity
 # ---------------------------------------------------------------------------

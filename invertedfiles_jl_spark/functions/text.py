@@ -330,8 +330,11 @@ def scrub_pii(df: DataFrame, doc_col: str = "doc_id",
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     if preserve_schema:
+        # drop pre-existing n_* count columns (e.g. re-scrubbing an earlier
+        # scrub output) so the appended counts never collide
+        count_names = {f"n_{name}" for name in PII_PATTERNS}
         keep = [red.alias(c) if c == content_col else F.col(c)
-                for c in df.columns]
+                for c in df.columns if c not in count_names]
         return df.select(*keep, *count_cols)
     return df.select(F.col(doc_col).alias("doc_id"), *count_cols,
                      red.alias("redacted"))

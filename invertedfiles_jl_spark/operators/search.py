@@ -442,10 +442,8 @@ def _fuzzy_matches(index: InvertedIndex, q: DataFrame, max_dist: int,
     from invertedfiles_jl_spark.operators.trigram import _grams_sql
 
     t, qt = F.col("term"), F.col("qterm")
-    lev_ok = (
-        (F.abs(F.length(t) - F.length(qt)) <= max_dist)
-        & (F.levenshtein(t, qt) <= max_dist)
-    )
+    len_ok = F.abs(F.length(t) - F.length(qt)) <= max_dist
+    lev_ok = len_ok & (F.levenshtein(t, qt) <= max_dist)
     out_cols = ["query_id", "qterm", "term", *vocab_cols]
     vocab = index.vocab.select("term", *vocab_cols)
     min_len = 3 * max_dist + 3
@@ -460,8 +458,9 @@ def _fuzzy_matches(index: InvertedIndex, q: DataFrame, max_dist: int,
         F.explode(F.expr(_grams_sql("term"))).alias("gram"))
     long_m = (
         vg.join(F.broadcast(qg), "gram")
+        .filter(len_ok)                   # cheap bound BEFORE the distinct
         .select(*out_cols).distinct()     # ≥1 shared gram ⇒ candidate once
-        .filter(lev_ok)
+        .filter(F.levenshtein(t, qt) <= max_dist)
     )
     return short_m.unionByName(long_m)
 

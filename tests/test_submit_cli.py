@@ -556,6 +556,11 @@ def test_cli_scrub_and_write_kept(spark, corpus_path, tmp_path):
     assert set(red.columns) == corpus_cols | {"n_email", "n_ipv4",
                                               "n_hexsecret"}
     assert red.count() == spark.read.parquet(corpus_path).count()
+    # re-scrubbing a scrub output must not collide on the n_* columns
+    sout2 = str(tmp_path / "scrubbed2")
+    assert submit_main.main(["scrub", "--input", sout,
+                             "--output", sout2]) == 0
+    assert set(spark.read.parquet(sout2).columns) == set(red.columns)
 
     out = str(tmp_path / "verdict2")
     kept_path = str(tmp_path / "kept")

@@ -393,6 +393,13 @@ def test_corpus_profile_approx(documents, docs_pandas, spark):
                    ("doc_len_p99", 0.99)):
         want = float(lens[int(np.ceil(q * len(lens))) - 1])
         assert getattr(row, col) == want, (col, getattr(row, col), want)
+    # the scalar (non-array) sketch branch: df_p90 discrete quantile
+    dfc = {}
+    for txt in docs_pandas["text"]:
+        for w in set(txt.lower().split()):
+            dfc[w] = dfc.get(w, 0) + 1
+    dfa = sorted(dfc.values())
+    assert row.df_p90 == float(dfa[int(np.ceil(0.9 * len(dfa))) - 1])
     # count columns are sketch-independent
     ex = exact.first()
     assert (row.n_docs, row.total_tokens, row.distinct_terms,

@@ -132,7 +132,8 @@ def topk(scored: DataFrame, k: int, score_col: str = "score",
 def _tfilter(scored: DataFrame, t: int) -> DataFrame:
     """xmerge t-threshold for weighted search: docs matched by < t query
     terms are dropped (/root/reference/src/winvfilesearch.jl:30 passes ``t``
-    through to the merge for weighted indexes too)."""
+    through to the merge for weighted indexes too).  ``scored`` may omit
+    ``n_matched`` when the caller asked for t=1 (drop is a no-op then)."""
     if t > 1:
         scored = scored.filter(F.col("n_matched") >= t)
     return scored.drop("n_matched")
@@ -153,7 +154,7 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     ``offset`` — pagination: ranks (offset, offset + k] (see :func:`topk`).
     """
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
-    scored = _bm25_scored(index, queries, accept_docs)
+    scored = _bm25_scored(index, queries, accept_docs, with_matches=(t > 1))
     return topk(_tfilter(scored, t), k, "score", ascending=False,
                 rank_round=rank_round, offset=offset)
 
@@ -172,14 +173,21 @@ def _bm25_qterms(index: InvertedIndex, queries: DataFrame) -> DataFrame:
 
 
 def _bm25_scored(index: InvertedIndex, queries: DataFrame,
-                 accept_docs: DataFrame | None = None) -> DataFrame:
-    """BM25 scoring WITHOUT the top-k: (query_id, doc_id, score, n_matched)
-    — shared by :func:`bm25_topk` and :func:`boolean_topk`."""
+                 accept_docs: DataFrame | None = None,
+                 with_matches: bool = True) -> DataFrame:
+    """BM25 scoring WITHOUT the top-k: (query_id, doc_id, score[, n_matched])
+    — shared by :func:`bm25_topk` and :func:`boolean_topk`.
+
+    ``with_matches=False`` omits the ``n_matched`` count aggregate: the
+    scoring agg's partial buffers and shuffle rows are the dominant memory
+    traffic of Plan A (group cardinality ≈ input rows, so map-side combine
+    barely reduces), and a t=1 caller drops the count unused — 8 B/row of
+    shuffle + buffer width saved on the hottest exchange."""
     m = _accept(_matched(index, _bm25_qterms(index, queries)), accept_docs)
-    return m.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score"),
-        F.count(F.lit(1)).alias("n_matched"),
-    )
+    aggs = [F.sum(F.col("qtf") * F.col("idf") * F.col("weight")).alias("score")]
+    if with_matches:
+        aggs.append(F.count(F.lit(1)).alias("n_matched"))
+    return m.groupBy("query_id", "doc_id").agg(*aggs)
 
 
 def bm25_msm_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
@@ -255,10 +263,10 @@ def cosine_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
         "query_id", "term_id", (F.col("qtf") / F.col("qn")).alias("qw"),
     ).withColumnRenamed("qw", "qtf")
     m = _accept(_matched(index, qt), accept_docs)
-    scored = m.groupBy("query_id", "doc_id").agg(
-        (F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist"),
-        F.count(F.lit(1)).alias("n_matched"),
-    )
+    aggs = [(F.lit(1.0) - F.sum(F.col("qtf") * F.col("weight"))).alias("dist")]
+    if t > 1:  # same narrow-agg policy as _bm25_scored
+        aggs.append(F.count(F.lit(1)).alias("n_matched"))
+    scored = m.groupBy("query_id", "doc_id").agg(*aggs)
     return topk(_tfilter(scored, t), k, "dist", ascending=True, rank_round=rank_round)
 
 

@@ -95,6 +95,15 @@ def get_spark(
         .config("spark.io.compression.codec",
                 os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
     )
+    if master.startswith("local"):
+        # local-mode shuffle goes through tmpfs (above), not a NIC or a
+        # spinning disk — lz4 on that path is pure CPU for zero saved I/O.
+        # A/B (08-21, pinned weak cells): compress off is ~7% faster at
+        # both local[4]/20k and local[16]/80k.  Cluster masters keep the
+        # Spark defaults: network shuffle bytes are worth compressing.
+        builder = (builder
+                   .config("spark.shuffle.compress", "false")
+                   .config("spark.shuffle.spill.compress", "false"))
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

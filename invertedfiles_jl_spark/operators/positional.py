@@ -215,7 +215,7 @@ def phrase_bm25_topk(index, positional: DataFrame, queries: DataFrame,
     from invertedfiles_jl_spark.operators.search import _bm25_scored
 
     gate = phrase_matches(positional, queries, cfg, vocab)
-    scored = _bm25_scored(index, queries).drop("n_matched")
+    scored = _bm25_scored(index, queries, with_matches=False)
     ranked = scored.join(gate.select("query_id", "doc_id"),
                          ["query_id", "doc_id"])
     return topk(ranked, k, "score", ascending=False, rank_round=rank_round)

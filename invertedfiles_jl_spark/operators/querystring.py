@@ -67,6 +67,11 @@ from invertedfiles_jl_spark.operators.search import _boolean_scored, topk
 
 MAX_PHRASES = 128
 
+# At most one outstanding per-batch candidate cache (see query_string_topk):
+# the next gated batch unpersists the previous batch's candidates, so a
+# long-lived serving session holds O(1) cached batches, not O(#batches).
+_PERSISTED_CANDIDATES: list = []
+
 # quoted phrase with an optional [+|-] sign directly before the opening
 # quote ('-"..."' is a phrase EXCLUSION, Lucene QueryParser semantics)
 # and an optional ~N slop suffix.  The full form is what stripping
@@ -259,10 +264,17 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
         # appears on BOTH sides of those joins and Catalyst re-executes it
         # per gate (measured: 4 postings scans, 0 reused exchanges in the
         # mixed-shape 100-query batch; 5.6 s → 3.7 s with the candidates
-        # persisted).  One bounded cache: |queries| × candidate docs rows,
-        # MEMORY_AND_DISK, LRU-evicted between batches.  Pure term queries
-        # are a single linear plan — no reuse to win, so no cache churn.
+        # persisted).  Bounded lifecycle: the module keeps at most ONE
+        # outstanding candidate cache — persisting a new batch unpersists
+        # the previous one (disk-resident blocks are NOT LRU-evicted, so
+        # a long-lived serving session would otherwise accumulate them on
+        # spark.local.dir unboundedly).  Pure term queries are a single
+        # linear plan — no reuse to win, so no cache churn.
+        prev = _PERSISTED_CANDIDATES.pop() if _PERSISTED_CANDIDATES else None
+        if prev is not None:
+            prev.unpersist(blocking=False)
         scored = scored.persist()
+        _PERSISTED_CANDIDATES.append(scored)
     if req is not None:
         n_req, req_terms = req
         gh = _distinct_term_matches(

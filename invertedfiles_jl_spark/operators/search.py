@@ -536,7 +536,7 @@ def _boolean_scored(index: InvertedIndex, queries: DataFrame,
             F.coalesce(F.col(must_col), F.lit("")),
             F.coalesce(F.col(should_col), F.lit("")),
         ).alias("content"))
-    scored = _bm25_scored(index, scoring).drop("n_matched")
+    scored = _bm25_scored(index, scoring, with_matches=False)
 
     mq = query_terms(field(must_col), index.cfg)
     n_must = mq.groupBy("query_id").agg(
@@ -783,7 +783,7 @@ def boosted_bm25_topk(index: InvertedIndex, queries: DataFrame,
     at 100 TB the boost table is a doc-keyed dimension and AQE picks
     broadcast vs shuffle from its real size."""
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
-    scored = _bm25_scored(index, queries).drop("n_matched")
+    scored = _bm25_scored(index, queries, with_matches=False)
     b = boosts.select("doc_id",
                       F.col(boost_col).cast("double").alias("_boost"))
     out = (scored.join(b, "doc_id", "left")
@@ -815,7 +815,7 @@ def collapse_topk(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
     top-k window at equal candidate count, with Spark's WindowGroupLimit
     pushdown bounding both windows."""
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
-    scored = _bm25_scored(index, queries).drop("n_matched")
+    scored = _bm25_scored(index, queries, with_matches=False)
     g = scored.join(meta.select("doc_id", F.col(group_col).alias("group_key")),
                     "doc_id")
     key = (F.round(F.col("score"), rank_round) if rank_round is not None
@@ -1117,7 +1117,7 @@ def search_after_topk(index: InvertedIndex, queries: DataFrame,
     the page (ranks are cursor-relative by design — absolute depth is
     unknowable without counting, which is the thing search_after avoids)."""
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
-    scored = _bm25_scored(index, queries).drop("n_matched")
+    scored = _bm25_scored(index, queries, with_matches=False)
     key = F.round(F.col("score"), rank_round)
     ck = F.round(F.col("after_score"), rank_round)
     after = scored.join(F.broadcast(cursor), "query_id").filter(
@@ -1145,7 +1145,7 @@ def facet_top_hits(index: InvertedIndex, queries: DataFrame, meta: DataFrame,
     query the output is ≤ k_buckets · k_hits rows; nothing rescans
     postings."""
     assert index.cfg.weighting == "bm25", "index not built with bm25 weighting"
-    scored = _bm25_scored(index, queries).drop("n_matched")
+    scored = _bm25_scored(index, queries, with_matches=False)
     m = scored.join(meta.select("doc_id", F.col(facet_col).alias("facet")),
                     "doc_id")
     counts = m.groupBy("query_id", "facet").agg(
@@ -1225,9 +1225,9 @@ def federated_bm25_topk(segments: list[InvertedIndex], queries: DataFrame,
     sat = (F.col("weight") * F.lit(k1 + 1.0)
            / (F.col("weight") + F.lit(k1)
               * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl_g))))
-    scored = matched.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("qtf") * F.col("idf") * sat).alias("score"),
-        F.count(F.lit(1)).alias("n_matched"),
-    )
+    aggs = [F.sum(F.col("qtf") * F.col("idf") * sat).alias("score")]
+    if t > 1:  # same narrow-agg policy as _bm25_scored
+        aggs.append(F.count(F.lit(1)).alias("n_matched"))
+    scored = matched.groupBy("query_id", "doc_id").agg(*aggs)
     return topk(_tfilter(scored, t), k, "score", ascending=False,
                 rank_round=rank_round)

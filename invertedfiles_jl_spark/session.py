@@ -95,12 +95,16 @@ def get_spark(
         .config("spark.io.compression.codec",
                 os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
     )
-    if master.startswith("local"):
-        # local-mode shuffle goes through tmpfs (above), not a NIC or a
-        # spinning disk — lz4 on that path is pure CPU for zero saved I/O.
+    if master.startswith("local") and (local_dir or "").startswith("/dev/shm"):
+        # local-mode shuffle through a tmpfs local dir hits RAM, not a NIC
+        # or a disk — lz4 on that path is pure CPU for zero saved I/O.
         # A/B (08-21, pinned weak cells): compress off is ~7% faster at
-        # both local[4]/20k and local[16]/80k.  Cluster masters keep the
-        # Spark defaults: network shuffle bytes are worth compressing.
+        # both local[4]/20k and local[16]/80k.  Gated on the dir actually
+        # being tmpfs: a disk-backed local dir (no /dev/shm, or
+        # SPARK_LOCAL_DIRS pointing at real storage) keeps compression —
+        # uncompressed shuffle files there are several times larger and
+        # disk-bound.  Cluster masters always keep the Spark defaults:
+        # network shuffle bytes are worth compressing.
         builder = (builder
                    .config("spark.shuffle.compress", "false")
                    .config("spark.shuffle.spill.compress", "false"))

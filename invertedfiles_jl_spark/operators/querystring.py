@@ -270,11 +270,18 @@ def query_string_topk(index: InvertedIndex, positional: DataFrame,
         # a long-lived serving session would otherwise accumulate them on
         # spark.local.dir unboundedly).  Pure term queries are a single
         # linear plan — no reuse to win, so no cache churn.
-        prev = _PERSISTED_CANDIDATES.pop() if _PERSISTED_CANDIDATES else None
-        if prev is not None:
-            prev.unpersist(blocking=False)
-        scored = scored.persist()
-        _PERSISTED_CANDIDATES.append(scored)
+        lvl = scored.storageLevel  # reads the CacheManager by plan equality
+        if not (lvl.useMemory or lvl.useDisk):
+            # not cached yet → evict the previous batch's cache and persist
+            # this one.  A REPEATED identical batch (same queries, same
+            # index) skips this branch entirely: its plan matches the live
+            # cache entry, so evicting-and-rebuilding would only throw away
+            # reusable work.
+            prev = _PERSISTED_CANDIDATES.pop() if _PERSISTED_CANDIDATES else None
+            if prev is not None:
+                prev.unpersist(blocking=False)
+            scored = scored.persist()
+            _PERSISTED_CANDIDATES.append(scored)
     if req is not None:
         n_req, req_terms = req
         gh = _distinct_term_matches(
